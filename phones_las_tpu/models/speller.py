@@ -1,0 +1,256 @@
+"""Speller: attention decoder over the listener's output.
+
+Reference shape (SURVEY.md §3 Speller row): token embedding →
+Bahdanau/Luong attention wrapped around a multi-layer LSTM (TF1
+``AttentionWrapper`` semantics: cell input is ``[embedding; previous
+attention vector]``; the attention vector is a linear projection of
+``[cell_output; context]``); output projection to the vocab. Training
+uses teacher forcing with optional scheduled sampling
+(``ScheduledEmbeddingTrainingHelper``-style per-step Bernoulli mixing);
+eval/predict use the greedy/beam loops in ``phones_las_tpu.decode``.
+
+Everything here is a pure function of (params, carry, inputs) so the same
+``speller_step`` body serves the teacher-forced scan, the greedy loop,
+and the vectorized beam search without re-tracing different code paths.
+
+Binf output modes (SURVEY.md §3 Binf machinery):
+  * ``binf_head``   — auxiliary sigmoid head on the attention vector [D];
+  * ``binf_logits`` — output projection into binf space, phone logits
+    recovered through the static phone-code matrix [M];
+  * ``binf_embedding`` — token embeddings derived from phone codes [M].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from phones_las_tpu.ops.attention import (
+    AttentionParams,
+    attention_context,
+    attention_scores,
+    init_attention_params,
+    precompute_keys,
+)
+from phones_las_tpu.ops.lstm import LSTMParams, init_lstm_params
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class SpellerConfig:
+    vocab_size: int = 50
+    embedding_dim: int = 128
+    num_layers: int = 1
+    units: int = 256
+    memory_dim: int = 512  # listener output dim (2 × encoder units)
+    attention_type: str = "bahdanau"  # see ops.attention variants
+    attention_units: int = 256
+    attention_layer_size: int = 256  # 0 → raw [cell_out; context] as attn vector
+    sampling_probability: float = 0.0
+    bos_id: int = 1
+    eos_id: int = 2
+    # binary phonological features ("binf"):
+    num_binf: int = 0  # 0 → no binf machinery
+    binf_mode: str = "none"  # 'none' | 'head' | 'logits' | 'embedding'
+
+    @property
+    def attn_vec_dim(self) -> int:
+        if self.attention_layer_size > 0:
+            return self.attention_layer_size
+        return self.units + self.memory_dim
+
+
+class SpellerParams(NamedTuple):
+    embedding: jnp.ndarray  # [V, E] (or [num_binf, E] proj for binf_embedding)
+    cells: Tuple[LSTMParams, ...]
+    attention: AttentionParams
+    attention_layer: Optional[jnp.ndarray]  # [units + memory_dim, attn_layer_size]
+    out_w: jnp.ndarray  # [attn_vec_dim, V] (or [attn_vec_dim, num_binf] for binf_logits)
+    out_b: jnp.ndarray
+    binf_w: Optional[jnp.ndarray]  # auxiliary binf head [attn_vec_dim, num_binf]
+    binf_b: Optional[jnp.ndarray]
+    # static phone → binf code matrix [V, num_binf]; non-trainable, carried
+    # in params so the whole model stays one pytree.
+    binf_codes: Optional[jnp.ndarray]
+
+
+def _glorot(key, shape, dtype=jnp.float32):
+    s = jnp.sqrt(6.0 / (shape[0] + shape[1]))
+    return jax.random.uniform(key, shape, dtype, -s, s)
+
+
+def init_speller(
+    key,
+    cfg: SpellerConfig,
+    binf_codes: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> SpellerParams:
+    keys = jax.random.split(key, 6 + cfg.num_layers)
+    if cfg.binf_mode == "embedding":
+        assert binf_codes is not None and cfg.num_binf > 0
+        embedding = _glorot(keys[0], (cfg.num_binf, cfg.embedding_dim), dtype)
+    else:
+        embedding = jax.random.normal(keys[0], (cfg.vocab_size, cfg.embedding_dim), dtype)
+
+    cells = []
+    in_dim = cfg.embedding_dim + cfg.attn_vec_dim
+    for l in range(cfg.num_layers):
+        cells.append(init_lstm_params(keys[1 + l], in_dim, cfg.units, dtype))
+        in_dim = cfg.units
+
+    attention = init_attention_params(
+        keys[-4],
+        cfg.attention_type,
+        query_dim=cfg.units,
+        memory_dim=cfg.memory_dim,
+        attn_units=cfg.attention_units,
+        dtype=dtype,
+    )
+    attn_layer = (
+        _glorot(keys[-3], (cfg.units + cfg.memory_dim, cfg.attention_layer_size), dtype)
+        if cfg.attention_layer_size > 0
+        else None
+    )
+    out_dim = cfg.num_binf if cfg.binf_mode == "logits" else cfg.vocab_size
+    out_w = _glorot(keys[-2], (cfg.attn_vec_dim, out_dim), dtype)
+    out_b = jnp.zeros((out_dim,), dtype)
+    if cfg.binf_mode == "head":
+        assert cfg.num_binf > 0
+        binf_w = _glorot(keys[-1], (cfg.attn_vec_dim, cfg.num_binf), dtype)
+        binf_b = jnp.zeros((cfg.num_binf,), dtype)
+    else:
+        binf_w = binf_b = None
+    codes = None
+    if cfg.binf_mode != "none":
+        assert binf_codes is not None, f"binf_mode={cfg.binf_mode} needs binf_codes"
+        codes = jnp.asarray(binf_codes, dtype)
+    return SpellerParams(
+        embedding, tuple(cells), attention, attn_layer, out_w, out_b, binf_w, binf_b, codes
+    )
+
+
+class SpellerCarry(NamedTuple):
+    states: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]  # per layer (h, c)
+    attn_vec: jnp.ndarray  # [B, attn_vec_dim]
+
+
+def init_speller_carry(cfg: SpellerConfig, batch: int, dtype=jnp.float32) -> SpellerCarry:
+    states = tuple(
+        (jnp.zeros((batch, cfg.units), dtype), jnp.zeros((batch, cfg.units), dtype))
+        for _ in range(cfg.num_layers)
+    )
+    return SpellerCarry(states, jnp.zeros((batch, cfg.attn_vec_dim), dtype))
+
+
+def embed_tokens(params: SpellerParams, cfg: SpellerConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Token ids → embeddings; binf_embedding mode goes through the code
+    matrix (unseen-phone transfer: new phones only need new codes)."""
+    if cfg.binf_mode == "embedding":
+        return params.binf_codes[tokens] @ params.embedding
+    return params.embedding[tokens]
+
+
+def speller_step(
+    params: SpellerParams,
+    cfg: SpellerConfig,
+    carry: SpellerCarry,
+    token_emb: jnp.ndarray,  # [B, E]
+    keys: jnp.ndarray,  # [B, Tenc, A] precomputed attention keys
+    memory: jnp.ndarray,  # [B, Tenc, M] listener outputs
+    enc_mask: jnp.ndarray,  # [B, Tenc]
+    forget_bias: float = 1.0,
+):
+    """One decode step → (carry', logits [B, V], extras dict).
+
+    extras: 'probs' (attention alignments, for the diagonal-alignment
+    summary images), 'binf_logits' when a binf mode is active.
+    """
+    x = jnp.concatenate([token_emb, carry.attn_vec], axis=-1)
+    new_states = []
+    for (h, c), cell in zip(carry.states, params.cells):
+        gates = x @ cell.wx + cell.b + jnp.matmul(h, cell.wh, precision=_HI)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        new_states.append((h, c))
+        x = h
+    cell_out = x
+
+    probs = attention_scores(params.attention, cfg.attention_type, cell_out, keys, enc_mask)
+    ctx = attention_context(probs, memory)
+    combined = jnp.concatenate([cell_out, ctx], axis=-1)
+    attn_vec = combined @ params.attention_layer if params.attention_layer is not None else combined
+
+    raw = attn_vec @ params.out_w + params.out_b
+    extras = {"probs": probs}
+    if cfg.binf_mode == "logits":
+        # raw are binf-space logits; phone score = code-match against the
+        # static phone-code matrix → enables transfer to unseen phones.
+        extras["binf_logits"] = raw
+        logits = raw @ params.binf_codes.T
+    else:
+        logits = raw
+        if cfg.binf_mode == "head":
+            extras["binf_logits"] = attn_vec @ params.binf_w + params.binf_b
+    return SpellerCarry(tuple(new_states), attn_vec), logits, extras
+
+
+def teacher_forced_decode(
+    params: SpellerParams,
+    cfg: SpellerConfig,
+    decoder_inputs: jnp.ndarray,  # [B, S] token ids, row 0 = <sos>
+    memory: jnp.ndarray,
+    enc_mask: jnp.ndarray,
+    *,
+    sampling_rng: Optional[jax.Array] = None,
+):
+    """Teacher-forced (optionally scheduled-sampling) pass.
+
+    → (logits [B, S, V], attention probs [B, S, Tenc], binf logits or None).
+    With ``cfg.sampling_probability > 0`` and a ``sampling_rng``, each
+    step's input token is, per batch element, the argmax-sampled token
+    from the previous step's logits with that probability (TF
+    ``ScheduledEmbeddingTrainingHelper`` semantics).
+    """
+    b, s = decoder_inputs.shape
+    keys = precompute_keys(params.attention, memory)
+    carry0 = init_speller_carry(cfg, b, memory.dtype)
+    use_ss = cfg.sampling_probability > 0.0 and sampling_rng is not None
+
+    inputs_tm = jnp.transpose(decoder_inputs, (1, 0))  # [S, B]
+
+    def step(loop_carry, inp):
+        carry, prev_sampled = loop_carry
+        token, rng = inp
+        if use_ss:
+            rng_b, rng_c = jax.random.split(rng)
+            take_sample = jax.random.bernoulli(
+                rng_b, cfg.sampling_probability, (b,)
+            ) & (prev_sampled >= 0)
+            token = jnp.where(take_sample, jnp.maximum(prev_sampled, 0), token)
+        emb = embed_tokens(params, cfg, token)
+        carry, logits, extras = speller_step(
+            params, cfg, carry, emb, keys, memory, enc_mask
+        )
+        if use_ss:
+            sampled = jax.random.categorical(rng_c, logits, axis=-1)
+        else:
+            sampled = jnp.full((b,), -1, jnp.int32)
+        out = (logits, extras["probs"], extras.get("binf_logits", jnp.zeros((b, 0))))
+        return (carry, sampled), out
+
+    rngs = (
+        jax.random.split(sampling_rng, s)
+        if use_ss
+        else jnp.zeros((s, 2), jnp.uint32)
+    )
+    init = (carry0, jnp.full((b,), -1, jnp.int32))
+    (_, _), (logits_tm, probs_tm, binf_tm) = jax.lax.scan(step, init, (inputs_tm, rngs))
+    logits = jnp.transpose(logits_tm, (1, 0, 2))
+    probs = jnp.transpose(probs_tm, (1, 0, 2))
+    binf = jnp.transpose(binf_tm, (1, 0, 2)) if binf_tm.shape[-1] else None
+    return logits, probs, binf

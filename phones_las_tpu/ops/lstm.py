@@ -1,0 +1,222 @@
+"""LSTM layers, TPU-native.
+
+The reference's encoder/decoder recurrence is TF1 ``dynamic_rnn`` /
+``BasicLSTMCell`` graphs executed by the TF C++ runtime (SURVEY.md §4.1
+hot loop 1). Here the computation is split the TPU way:
+
+  * the input projection ``x @ Wx + b`` for *all* timesteps is one large
+    MXU matmul (batched over B·T — this is where most LSTM FLOPs live);
+  * the sequential recurrence ``gates = xp[t] + h @ Wh`` runs either as
+    ``lax.scan`` (differentiable path used in training) or as a fused
+    Pallas kernel (inference): weights and (h, c) stay VMEM-resident
+    across timesteps, timestep blocks of the projected input stream
+    through the Pallas grid pipeline, and per-step masking reproduces
+    ``dynamic_rnn(sequence_length=...)`` semantics — state freezes and
+    outputs are zero past each row's length.
+
+Cell semantics (matching TF1 ``BasicLSTMCell``): gate order (i, g, f, o)
+is internal — we use (i, f, g, o); ``forget_bias`` (default 1.0) is added
+to the forget preactivation at runtime, not folded into the stored bias;
+activations sigmoid/tanh; no peepholes, no projection.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phones_las_tpu.ops.masking import length_mask
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class LSTMParams(NamedTuple):
+    """One direction's parameters. wx: [D, 4U], wh: [U, 4U], b: [4U]."""
+
+    wx: jnp.ndarray
+    wh: jnp.ndarray
+    b: jnp.ndarray
+
+    @property
+    def units(self) -> int:
+        return self.wh.shape[0]
+
+
+def init_lstm_params(key, input_dim: int, units: int, dtype=jnp.float32) -> LSTMParams:
+    """Glorot-uniform kernels (TF1 default initializer), zero bias."""
+    k1, k2 = jax.random.split(key)
+    scale_x = jnp.sqrt(6.0 / (input_dim + 4 * units))
+    scale_h = jnp.sqrt(6.0 / (units + 4 * units))
+    return LSTMParams(
+        wx=jax.random.uniform(k1, (input_dim, 4 * units), dtype, -scale_x, scale_x),
+        wh=jax.random.uniform(k2, (units, 4 * units), dtype, -scale_h, scale_h),
+        b=jnp.zeros((4 * units,), dtype),
+    )
+
+
+def _cell_math(gates, c, forget_bias):
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def _recurrence_xla(
+    xp_tm: jnp.ndarray,  # [T, B, 4U] time-major projected input (bias included)
+    mask_tm: jnp.ndarray,  # [T, B] 1.0 for valid steps
+    wh: jnp.ndarray,
+    forget_bias: float,
+    reverse: bool,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    t, b, four_u = xp_tm.shape
+    u = four_u // 4
+    h0 = jnp.zeros((b, u), xp_tm.dtype)
+    c0 = jnp.zeros((b, u), xp_tm.dtype)
+
+    def step(carry, inp):
+        h, c = carry
+        xp_t, m = inp
+        gates = xp_t + jnp.matmul(h, wh, precision=_HI)
+        h_new, c_new = _cell_math(gates, c, forget_bias)
+        m = m[:, None]
+        h = m * h_new + (1.0 - m) * h
+        c = m * c_new + (1.0 - m) * c
+        return (h, c), m * h_new
+
+    (h, c), out = jax.lax.scan(step, (h0, c0), (xp_tm, mask_tm), reverse=reverse)
+    return out, (h, c)
+
+
+def _make_lstm_kernel(tc: int, reverse: bool, forget_bias: float):
+    def kernel(xp_ref, mask_ref, wh_ref, out_ref, hfin_ref, cfin_ref, h_scr, c_scr):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            h_scr[:] = jnp.zeros_like(h_scr)
+            c_scr[:] = jnp.zeros_like(c_scr)
+
+        steps = range(tc - 1, -1, -1) if reverse else range(tc)
+        for tt in steps:
+            gates = xp_ref[tt] + jnp.dot(
+                h_scr[:], wh_ref[:], preferred_element_type=jnp.float32, precision=_HI
+            )
+            h_new, c_new = _cell_math(gates, c_scr[:], forget_bias)
+            m = mask_ref[tt][:, None]
+            h_scr[:] = m * h_new + (1.0 - m) * h_scr[:]
+            c_scr[:] = m * c_new + (1.0 - m) * c_scr[:]
+            out_ref[tt] = m * h_new
+        hfin_ref[:] = h_scr[:]
+        cfin_ref[:] = c_scr[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "forget_bias", "interpret"))
+def _recurrence_pallas(
+    xp_tm: jnp.ndarray,  # [T, B, 4U]
+    mask_tm: jnp.ndarray,  # [T, B]
+    wh: jnp.ndarray,
+    reverse: bool = False,
+    forget_bias: float = 1.0,
+    interpret: bool = False,
+):
+    """Fused recurrence: grid streams TC-step blocks (auto double-buffered
+    by the Pallas pipeline); h/c persist in VMEM scratch across the
+    sequential TPU grid. ``reverse`` streams blocks back-to-front and
+    unrolls steps within a block in reverse, so outputs land at their
+    original time indices (matching ``lax.scan(reverse=True)``)."""
+    t, b, four_u = xp_tm.shape
+    u = four_u // 4
+    tc = min(32, t)
+    n_blocks = pl.cdiv(t, tc)
+    t_pad = n_blocks * tc
+    if t_pad != t:
+        xp_tm = jnp.pad(xp_tm, ((0, t_pad - t), (0, 0), (0, 0)))
+        mask_tm = jnp.pad(mask_tm, ((0, t_pad - t), (0, 0)))
+
+    blk = lambda i: ((n_blocks - 1 - i) if reverse else i, 0, 0)
+    blk2 = lambda i: ((n_blocks - 1 - i) if reverse else i, 0)
+
+    out, hfin, cfin = pl.pallas_call(
+        _make_lstm_kernel(tc, reverse, forget_bias),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((tc, b, four_u), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, b), blk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, four_u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tc, b, u), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b, u), xp_tm.dtype),
+            jax.ShapeDtypeStruct((b, u), xp_tm.dtype),
+            jax.ShapeDtypeStruct((b, u), xp_tm.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, u), jnp.float32),
+            pltpu.VMEM((b, u), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp_tm, mask_tm, wh)
+    return out[:t], (hfin, cfin)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def lstm_layer(
+    params: LSTMParams,
+    x: jnp.ndarray,  # [B, T, D]
+    lengths: jnp.ndarray,  # [B]
+    *,
+    reverse: bool = False,
+    forget_bias: float = 1.0,
+    implementation: str = "xla",  # 'xla' (differentiable) | 'pallas' (fused, fwd-only)
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Unidirectional LSTM over a padded batch.
+
+    Returns (outputs [B, T, U] with zeros past each length, (h, c) final
+    state at each row's true boundary).
+    """
+    b, t, _ = x.shape
+    xp = jnp.einsum("btd,dh->bth", x, params.wx) + params.b
+    xp_tm = jnp.transpose(xp, (1, 0, 2))
+    mask_tm = jnp.transpose(length_mask(lengths, t, xp.dtype), (1, 0))
+    if implementation == "pallas":
+        out_tm, state = _recurrence_pallas(
+            xp_tm, mask_tm, params.wh, reverse=reverse, forget_bias=forget_bias,
+            interpret=_use_interpret(),
+        )
+    else:
+        out_tm, state = _recurrence_xla(xp_tm, mask_tm, params.wh, forget_bias, reverse)
+    return jnp.transpose(out_tm, (1, 0, 2)), state
+
+
+def bilstm_layer(
+    fwd: LSTMParams,
+    bwd: LSTMParams,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    forget_bias: float = 1.0,
+    implementation: str = "xla",
+) -> Tuple[jnp.ndarray, Tuple]:
+    """Bidirectional LSTM: concat(fwd, bwd) over the feature axis,
+    matching ``tf.nn.bidirectional_dynamic_rnn`` output layout."""
+    out_f, st_f = lstm_layer(
+        fwd, x, lengths, reverse=False, forget_bias=forget_bias, implementation=implementation
+    )
+    out_b, st_b = lstm_layer(
+        bwd, x, lengths, reverse=True, forget_bias=forget_bias, implementation=implementation
+    )
+    return jnp.concatenate([out_f, out_b], axis=-1), (st_f, st_b)
