@@ -1,0 +1,171 @@
+"""Length-bucketed, static-shape batch pipeline.
+
+Replaces the reference's ``tf.data`` input_fn (SURVEY.md §4.4): parse →
+vocab lookup → length filter → shuffle → padded_batch → prefetch. The TPU
+inversion: every batch has one of a small set of *static* audio shapes
+(bucket boundaries), so jit compiles one program per bucket and reuse is
+total; padding waste is bounded by bucket granularity. Audio ships to the
+device as int16 (half the host→device bytes); the device front-end
+consumes raw PCM values (psf semantics operate on unscaled int16 range).
+
+Targets get ``<eos>`` appended here (counted in ``target_lengths``), and
+decoder input shifting happens inside the model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from phones_las_tpu.data.records import RecordReader, Utterance
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    batch_size: int = 32
+    # bucket upper bounds, in samples (16 kHz: 2/4/8/16/30 s)
+    buckets: Sequence[int] = (32000, 64000, 128000, 256000, 480000)
+    max_target_len: int = 100  # static target length incl. <eos>
+    max_grapheme_len: int = 0  # 0 → no grapheme targets in batches
+    eos_id: int = 2
+    pad_id: int = 0
+    shuffle: bool = True
+    seed: int = 0
+    drop_remainder: bool = True  # False → pad final partial batch with empty rows
+    drop_too_long: bool = True  # False → truncate to the largest bucket
+
+
+def _bucket_for(n: int, buckets: Sequence[int]) -> Optional[int]:
+    for i, b in enumerate(buckets):
+        if n <= b:
+            return i
+    return None
+
+
+class BucketBatcher:
+    """Groups utterances into per-bucket batches with static shapes.
+
+    Emits dicts: audio [B, S_b] int16, audio_lengths [B] int32,
+    targets [B, L] int32 (<eos>-terminated, <pad>-padded),
+    target_lengths [B], plus grapheme fields when configured, and
+    utt_ids (host-side list, not shipped to device).
+    """
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+
+    def _emit(self, items: List[Utterance], bucket_len: int) -> Dict:
+        cfg = self.cfg
+        b = cfg.batch_size
+        n = len(items)
+        audio = np.zeros((b, bucket_len), np.int16)
+        audio_lengths = np.zeros((b,), np.int32)
+        targets = np.full((b, cfg.max_target_len), cfg.pad_id, np.int32)
+        target_lengths = np.zeros((b,), np.int32)
+        batch = {
+            "audio": audio,
+            "audio_lengths": audio_lengths,
+            "targets": targets,
+            "target_lengths": target_lengths,
+        }
+        if cfg.max_grapheme_len:
+            batch["grapheme_targets"] = np.full(
+                (b, cfg.max_grapheme_len), cfg.pad_id, np.int32
+            )
+            batch["grapheme_lengths"] = np.zeros((b,), np.int32)
+        utt_ids = []
+        for i, u in enumerate(items):
+            s = min(u.num_samples, bucket_len)
+            audio[i, :s] = u.audio[:s]
+            audio_lengths[i] = s
+            t = u.targets[: cfg.max_target_len - 1]
+            targets[i, : len(t)] = t
+            targets[i, len(t)] = cfg.eos_id
+            target_lengths[i] = len(t) + 1
+            if cfg.max_grapheme_len:
+                g = (u.grapheme_targets if u.grapheme_targets is not None else np.zeros(0, np.int32))
+                g = g[: cfg.max_grapheme_len - 1]
+                batch["grapheme_targets"][i, : len(g)] = g
+                batch["grapheme_targets"][i, len(g)] = cfg.eos_id
+                batch["grapheme_lengths"][i] = len(g) + 1
+            utt_ids.append(u.utt_id)
+        batch["utt_ids"] = utt_ids + [""] * (b - n)
+        batch["num_real"] = n
+        return batch
+
+    def batches(
+        self, utterances: Iterator[Utterance]
+    ) -> Iterator[Dict]:
+        cfg = self.cfg
+        pending: Dict[int, List[Utterance]] = {i: [] for i in range(len(cfg.buckets))}
+        for u in utterances:
+            bi = _bucket_for(u.num_samples, cfg.buckets)
+            if bi is None:
+                if cfg.drop_too_long:
+                    continue
+                bi = len(cfg.buckets) - 1
+            pending[bi].append(u)
+            if len(pending[bi]) == cfg.batch_size:
+                yield self._emit(pending[bi], cfg.buckets[bi])
+                pending[bi] = []
+        if not cfg.drop_remainder:
+            for bi, items in pending.items():
+                if items:
+                    yield self._emit(items, cfg.buckets[bi])
+
+
+class DataSource:
+    """Epoch iterator over record files with shuffling and prefetch."""
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        cfg: PipelineConfig,
+    ):
+        self.readers = [RecordReader(p) for p in paths]
+        self.cfg = cfg
+        self.batcher = BucketBatcher(cfg)
+        self._index = [
+            (ri, i) for ri, r in enumerate(self.readers) for i in range(len(r))
+        ]
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def _utterances(self, epoch: int) -> Iterator[Utterance]:
+        order = np.arange(len(self._index))
+        if self.cfg.shuffle:
+            np.random.RandomState(self.cfg.seed + epoch).shuffle(order)
+        for j in order:
+            ri, i = self._index[j]
+            yield self.readers[ri][i]
+
+    def epoch(self, epoch: int = 0, prefetch: int = 4) -> Iterator[Dict]:
+        """One pass over the data as batches, prefetched on a thread."""
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for b in self.batcher.batches(self._utterances(epoch)):
+                    q.put(b)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+    def repeat(self, start_epoch: int = 0) -> Iterator[Dict]:
+        e = start_epoch
+        while True:
+            yield from self.epoch(e)
+            e += 1

@@ -1,0 +1,196 @@
+"""Trainer: jit train/eval steps and the outer loop.
+
+Reference equivalents (SURVEY.md §4.1/§4.2): the
+``train_and_evaluate`` outer loop with periodic checkpoint + summaries
+becomes a plain Python loop around one jit-compiled train step per
+bucket shape; the EVAL leg (greedy decode + edit distance + attention
+images) is ``evaluate``. Metrics go to TensorBoard via
+``clu.metric_writers`` when available, else stdout.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from phones_las_tpu.decode import greedy_decode
+from phones_las_tpu.models.las import LASConfig, compute_loss, encode
+from phones_las_tpu.train import metrics as M
+from phones_las_tpu.train.checkpoint import CheckpointManager
+from phones_las_tpu.train.state import (
+    TrainConfig,
+    TrainState,
+    create_train_state,
+    lr_schedule,
+    make_optimizer,
+    mask_grads,
+)
+
+_DEVICE_KEYS = (
+    "audio", "audio_lengths", "targets", "target_lengths",
+    "grapheme_targets", "grapheme_lengths",
+)
+
+
+def device_batch(batch: Dict) -> Dict:
+    return {k: jnp.asarray(v) for k, v in batch.items() if k in _DEVICE_KEYS}
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_cfg: LASConfig,
+        train_cfg: TrainConfig,
+        workdir: Optional[str] = None,
+        *,
+        binf_codes: Optional[np.ndarray] = None,
+        score_fold: Optional[Dict[int, Optional[int]]] = None,
+        implementation: str = "xla",
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.score_fold = score_fold
+        self.implementation = implementation
+        self.tx = make_optimizer(train_cfg)
+        self.state = create_train_state(
+            jax.random.PRNGKey(train_cfg.seed), model_cfg, train_cfg, binf_codes
+        )
+        self.start_epoch = 0
+        self.ckpt = None
+        if workdir is not None:
+            self.ckpt = CheckpointManager(
+                workdir, keep=train_cfg.keep_checkpoints,
+                save_every=train_cfg.checkpoint_every,
+            )
+            if self.ckpt.latest_step() is not None:
+                self.state, self.start_epoch = self.ckpt.restore(self.state)
+
+        cfg = model_cfg
+        impl = implementation
+
+        def train_step(state: TrainState, batch: Dict):
+            rng, step_rng = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                return compute_loss(
+                    params, cfg, batch, train=True, rng=step_rng,
+                    implementation=impl,
+                )
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            grads = mask_grads(grads, state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            out = {
+                "loss": loss,
+                "grad_norm": optax.global_norm(grads),
+                "lr": lr_schedule(self.train_cfg)(state.step),
+            }
+            for k in ("phone_loss", "grapheme_loss", "binf_loss"):
+                if k in aux:
+                    out[k] = aux[k]
+            return (
+                TrainState(state.step + 1, params, opt_state, rng),
+                out,
+            )
+
+        def eval_step(params, batch: Dict, max_steps: int):
+            memory, enc_lens, enc_mask = encode(
+                params, cfg, batch["audio"], batch["audio_lengths"],
+                implementation=impl,
+            )
+            loss, aux = compute_loss(params, cfg, batch, train=False, implementation=impl)
+            tokens, lengths, aligns = greedy_decode(
+                params.speller, cfg.speller, memory, enc_mask, max_steps,
+                return_alignments=True,
+            )
+            return {
+                "loss": aux["loss"],
+                "tokens": tokens,
+                "lengths": lengths,
+                "alignments": aligns,
+                "enc_lengths": enc_lens,
+            }
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step, static_argnames=("max_steps",))
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        batches: Iterator[Dict],
+        *,
+        eval_batches_fn=None,
+        writer=None,
+        log_fn=print,
+    ) -> TrainState:
+        tc = self.train_cfg
+        t0 = time.time()
+        window_loss, window_n = 0.0, 0
+        for batch in batches:
+            step = int(self.state.step)
+            if step >= tc.num_steps:
+                break
+            self.state, out = self._train_step(self.state, device_batch(batch))
+            window_loss += float(out["loss"])
+            window_n += 1
+            step += 1
+            if step % tc.log_every == 0 or step == tc.num_steps:
+                rate = window_n * batch["audio"].shape[0] / (time.time() - t0)
+                msg = {
+                    "step": step,
+                    "loss": window_loss / max(window_n, 1),
+                    "utt_per_sec": round(rate, 2),
+                    "lr": float(out["lr"]),
+                    "grad_norm": float(out["grad_norm"]),
+                }
+                log_fn(f"train: {msg}")
+                if writer is not None:
+                    writer.write_scalars(step, {k: v for k, v in msg.items() if k != "step"})
+                t0, window_loss, window_n = time.time(), 0.0, 0
+            if eval_batches_fn is not None and step % tc.eval_every == 0:
+                ev = self.evaluate(eval_batches_fn())
+                log_fn(f"eval @ {step}: {ev}")
+                if writer is not None:
+                    writer.write_scalars(step, {f"eval/{k}": v for k, v in ev.items()})
+            if self.ckpt is not None:
+                self.ckpt.save(step, self.state)
+        if self.ckpt is not None:
+            if self.ckpt.latest_step() != int(self.state.step):
+                self.ckpt.save(int(self.state.step), self.state, force=True)
+            self.ckpt.wait()
+        return self.state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, batches: Iterator[Dict], max_steps: Optional[int] = None) -> Dict:
+        dist = tokens = 0
+        losses = []
+        steps_cap = max_steps or self._default_cap()
+        for batch in batches:
+            out = self._eval_step(self.state.params, device_batch(batch), steps_cap)
+            losses.append(float(out["loss"]))
+            d, t = M.edit_distance_stats(
+                np.asarray(out["tokens"]),
+                np.asarray(out["lengths"]),
+                np.asarray(batch["targets"]),
+                np.asarray(batch["target_lengths"]) - 1,  # exclude <eos>
+                num_real=batch.get("num_real"),
+                fold=self.score_fold,
+            )
+            dist += d
+            tokens += t
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "per": M.per_from_stats(dist, tokens),
+            "ref_tokens": tokens,
+        }
+
+    def _default_cap(self) -> int:
+        return 100
