@@ -1,0 +1,197 @@
+"""Benchmark: offline inference throughput (utterances/sec/chip) on the
+flagship LibriSpeech-class char LAS (BASELINE.json configs[4] shape), and
+RTF, vs a reference-equivalent CPU pipeline.
+
+The reference is a TF1 CPU/GPU Estimator app whose inference path is
+numpy feature extraction + dynamic_rnn encoder + per-step attention
+decoding (SURVEY.md §4.3). Since the reference itself is not runnable
+here (empty mount, no TF1), the baseline is a faithful same-shape
+re-implementation: vectorized numpy psf-style front-end + torch
+(CPU) bidirectional pyramidal LSTM encoder + per-step greedy attention
+decoder. vs_baseline = our utt/sec/chip ÷ baseline CPU utt/sec.
+
+Prints exactly ONE JSON line on stdout; progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SECONDS = 10.0
+SAMPLE_RATE = 16000
+N_SAMPLES = int(SECONDS * SAMPLE_RATE)
+DECODE_STEPS = 200
+VOCAB = 34
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_audio(b, seed=0):
+    rs = np.random.RandomState(seed)
+    return (rs.randn(b, N_SAMPLES) * 2000).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Ours: TPU JAX pipeline
+# ---------------------------------------------------------------------------
+
+
+def bench_tpu(batch_size=64, iters=4):
+    import jax
+
+    from phones_las_tpu.decode import greedy_decode
+    from phones_las_tpu.models.las import encode, init_las
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg()
+    params = init_las(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def infer(params, audio, lengths):
+        memory, _, enc_mask = encode(params, cfg, audio, lengths)
+        tokens, lens, _ = greedy_decode(
+            params.speller, cfg.speller, memory, enc_mask, max_steps=DECODE_STEPS
+        )
+        return tokens, lens
+
+    audio = jax.numpy.asarray(make_audio(batch_size))
+    lengths = jax.numpy.full((batch_size,), N_SAMPLES, jax.numpy.int32)
+
+    # NB: on the tunneled backend block_until_ready can return before the
+    # work is done; a host fetch of the (tiny) token output is the only
+    # reliable barrier, so we sync every iteration through np.asarray.
+    t0 = time.time()
+    for _ in range(2):
+        np.asarray(infer(params, audio, lengths)[0])
+    log(f"tpu: compile+warmup {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    for _ in range(iters):
+        np.asarray(infer(params, audio, lengths)[0])
+    dt = time.time() - t0
+    utts = batch_size * iters
+    rate = utts / dt
+    rtf = (utts * SECONDS) / dt  # seconds of audio per wall second
+    log(f"tpu: {rate:.1f} utt/s, RTFx {rtf:.0f}, {dt:.2f}s for {utts} utts")
+    return rate, rtf
+
+
+# ---------------------------------------------------------------------------
+# Baseline: reference-equivalent CPU pipeline (numpy frontend + torch LAS)
+# ---------------------------------------------------------------------------
+
+
+def _np_frontend(sig):
+    """Vectorized psf-semantics log-mel + deltas (as the reference's
+    offline python_speech_features pass)."""
+    win, hop, nfft, nmel = 400, 160, 512, 40
+    sig = np.append(sig[0], sig[1:] - 0.97 * sig[:-1])
+    n = 1 + int(np.ceil((len(sig) - win) / hop)) if len(sig) > win else 1
+    pad = (n - 1) * hop + win - len(sig)
+    sig = np.pad(sig, (0, max(pad, 0)))
+    idx = np.arange(n)[:, None] * hop + np.arange(win)[None, :]
+    frames = sig[idx]
+    ps = (np.abs(np.fft.rfft(frames, nfft)) ** 2) / nfft
+    # HTK mel filterbank with integer bin edges
+    hz2mel = lambda h: 2595 * np.log10(1 + h / 700.0)
+    mel2hz = lambda m: 700 * (10 ** (m / 2595.0) - 1)
+    pts = np.linspace(hz2mel(0), hz2mel(SAMPLE_RATE / 2), nmel + 2)
+    bins = np.floor((nfft + 1) * mel2hz(pts) / SAMPLE_RATE).astype(int)
+    fb = np.zeros((nmel, nfft // 2 + 1))
+    for j in range(nmel):
+        for i in range(bins[j], bins[j + 1]):
+            fb[j, i] = (i - bins[j]) / max(bins[j + 1] - bins[j], 1)
+        for i in range(bins[j + 1], bins[j + 2]):
+            fb[j, i] = (bins[j + 2] - i) / max(bins[j + 2] - bins[j + 1], 1)
+    feat = np.log(np.maximum(ps @ fb.T, np.finfo(float).eps))
+
+    def delta(f):
+        p = np.pad(f, ((2, 2), (0, 0)), mode="edge")
+        return (p[3:-1] - p[1:-3] + 2 * (p[4:] - p[:-4])) / 10.0
+
+    d1 = delta(feat)
+    return np.concatenate([feat, d1, delta(d1)], axis=1).astype(np.float32)
+
+
+def bench_cpu_baseline(batch_size=8):
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    units, dec_units, emb, attn = 256, 256, 128, 256
+
+    enc_layers = [
+        torch.nn.LSTM(120, units, bidirectional=True, batch_first=True),
+        torch.nn.LSTM(4 * units, units, bidirectional=True, batch_first=True),
+        torch.nn.LSTM(4 * units, units, bidirectional=True, batch_first=True),
+    ]
+    embedding = torch.nn.Embedding(VOCAB, emb)
+    dec_cells = [
+        torch.nn.LSTMCell(emb + attn, dec_units),
+        torch.nn.LSTMCell(dec_units, dec_units),
+    ]
+    wq = torch.nn.Linear(dec_units, attn, bias=False)
+    wk = torch.nn.Linear(2 * units, attn, bias=False)
+    v = torch.nn.Parameter(torch.randn(attn))
+    attn_layer = torch.nn.Linear(dec_units + 2 * units, attn, bias=False)
+    out_proj = torch.nn.Linear(attn, VOCAB)
+
+    audio = make_audio(batch_size)
+    t0 = time.time()
+    with torch.no_grad():
+        feats = np.stack([_np_frontend(a) for a in audio])
+        x = torch.from_numpy(feats)
+        for li, lstm in enumerate(enc_layers):
+            if li > 0:  # pyramid reshape-concat
+                b, t, u = x.shape
+                t2 = t // 2 * 2
+                x = x[:, :t2].reshape(b, t2 // 2, 2 * u)
+            x, _ = lstm(x)
+        memory = x  # [B, T', 512]
+        keys = wk(memory)
+        b = memory.shape[0]
+        states = [
+            (torch.zeros(b, dec_units), torch.zeros(b, dec_units))
+            for _ in dec_cells
+        ]
+        att = torch.zeros(b, attn)
+        tok = torch.ones(b, dtype=torch.long)
+        for _ in range(DECODE_STEPS):
+            inp = torch.cat([embedding(tok), att], dim=-1)
+            for i, cell in enumerate(dec_cells):
+                states[i] = cell(inp, states[i])
+                inp = states[i][0]
+            q = wq(inp)
+            scores = torch.tanh(keys + q[:, None, :]) @ v
+            al = torch.softmax(scores, dim=-1)
+            ctx = (al[:, :, None] * memory).sum(1)
+            att = attn_layer(torch.cat([inp, ctx], dim=-1))
+            tok = out_proj(att).argmax(-1)
+    dt = time.time() - t0
+    rate = batch_size / dt
+    log(f"cpu baseline: {rate:.2f} utt/s ({dt:.1f}s for {batch_size} utts, "
+        f"{os.cpu_count()} host cores)")
+    return rate
+
+
+def main():
+    tpu_rate, rtf = bench_tpu()
+    cpu_rate = bench_cpu_baseline()
+    result = {
+        "metric": "offline_inference_throughput",
+        "value": round(tpu_rate, 2),
+        "unit": "utterances/sec/chip (10s utts, LibriSpeech-class char LAS; "
+        f"RTFx={rtf:.0f})",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
