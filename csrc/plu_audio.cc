@@ -1,0 +1,472 @@
+// plu_audio: native audio decoding for the phones_las_tpu data loader.
+//
+// The reference delegates audio IO to python libraries; this framework's
+// host-side ingestion is native (SURVEY.md §3 "native components" —
+// the rebuild supplies its own data-loader tier). Formats:
+//   * WAV  (RIFF PCM 8/16-bit and float32)
+//   * NIST SPHERE (TIMIT: pcm16 either endianness, ulaw; shorten -> error)
+//   * FLAC (LibriSpeech: full subframe support — constant, verbatim,
+//     fixed 0–4, LPC — rice/rice2 residuals, mono or stereo incl.
+//     left/right/mid-side decorrelation, 8/12/16/20/24-bit)
+// Output is always int16 mono (multi-channel averaged), matching the
+// reference pipelines' expectations at 16 kHz corpora.
+//
+// C ABI (ctypes):
+//   int plu_decode_audio(const char* path, int16_t** out, long long* n,
+//                        int* sample_rate, char* err, int errlen);
+//   void plu_free(int16_t* buf);
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct ByteReader {
+  const uint8_t* data;
+  size_t size;
+  size_t pos = 0;
+  bool ok = true;
+
+  bool need(size_t n) {
+    if (pos + n > size) { ok = false; return false; }
+    return true;
+  }
+  const uint8_t* take(size_t n) {
+    if (!need(n)) return nullptr;
+    const uint8_t* p = data + pos;
+    pos += n;
+    return p;
+  }
+  uint32_t u32le() { auto* p = take(4); return p ? (uint32_t)p[0] | p[1] << 8 | p[2] << 16 | (uint32_t)p[3] << 24 : 0; }
+  uint16_t u16le() { auto* p = take(2); return p ? (uint16_t)(p[0] | p[1] << 8) : 0; }
+  uint32_t u24be() { auto* p = take(3); return p ? (uint32_t)p[0] << 16 | p[1] << 8 | p[2] : 0; }
+};
+
+// ---------------------------------------------------------------------------
+// Bit reader (MSB-first) for FLAC
+// ---------------------------------------------------------------------------
+struct BitReader {
+  const uint8_t* data;
+  size_t size;
+  size_t byte_pos = 0;
+  int bit_pos = 0;  // 0..7, MSB first
+  bool ok = true;
+
+  uint64_t bits(int n) {
+    uint64_t v = 0;
+    while (n > 0) {
+      if (byte_pos >= size) { ok = false; return 0; }
+      int avail = 8 - bit_pos;
+      int take = n < avail ? n : avail;
+      int shift = avail - take;
+      v = (v << take) | ((data[byte_pos] >> shift) & ((1u << take) - 1));
+      bit_pos += take;
+      if (bit_pos == 8) { bit_pos = 0; byte_pos++; }
+      n -= take;
+    }
+    return v;
+  }
+  int64_t sbits(int n) {
+    uint64_t v = bits(n);
+    if (n == 0) return 0;
+    if (v & (1ull << (n - 1))) return (int64_t)(v | (~0ull << n));
+    return (int64_t)v;
+  }
+  uint32_t unary() {
+    uint32_t q = 0;
+    while (ok) {
+      if (bits(1)) return q;
+      if (++q > 1u << 24) { ok = false; return 0; }  // corrupt stream guard
+    }
+    return 0;
+  }
+  void align() { if (bit_pos) { bit_pos = 0; byte_pos++; } }
+};
+
+void set_err(char* err, int errlen, const std::string& msg) {
+  if (err && errlen > 0) snprintf(err, errlen, "%s", msg.c_str());
+}
+
+// ---------------------------------------------------------------------------
+// WAV
+// ---------------------------------------------------------------------------
+bool decode_wav(const std::vector<uint8_t>& buf, std::vector<int16_t>* out,
+                int* rate, std::string* err) {
+  ByteReader r{buf.data(), buf.size()};
+  if (!r.need(12) || memcmp(buf.data(), "RIFF", 4) || memcmp(buf.data() + 8, "WAVE", 4)) {
+    *err = "not a RIFF/WAVE file";
+    return false;
+  }
+  r.pos = 12;
+  uint16_t fmt = 0, channels = 0, bits = 0;
+  uint32_t sample_rate = 0;
+  const uint8_t* data_ptr = nullptr;
+  size_t data_len = 0;
+  while (r.pos + 8 <= r.size) {
+    const uint8_t* tag = r.take(4);
+    uint32_t len = r.u32le();
+    if (!r.ok || !r.need(len)) break;
+    if (!memcmp(tag, "fmt ", 4)) {
+      ByteReader f{buf.data() + r.pos, len};
+      fmt = f.u16le();
+      channels = f.u16le();
+      sample_rate = f.u32le();
+      f.u32le(); f.u16le();
+      bits = f.u16le();
+    } else if (!memcmp(tag, "data", 4)) {
+      data_ptr = buf.data() + r.pos;
+      data_len = len;
+    }
+    r.pos += len + (len & 1);
+  }
+  if (!data_ptr || !channels) { *err = "wav: missing fmt/data chunk"; return false; }
+  *rate = (int)sample_rate;
+  size_t bytes_per = bits / 8;
+  size_t n_frames = data_len / (bytes_per * channels);
+  out->resize(n_frames);
+  for (size_t i = 0; i < n_frames; i++) {
+    int64_t acc = 0;
+    for (int c = 0; c < channels; c++) {
+      const uint8_t* p = data_ptr + (i * channels + c) * bytes_per;
+      int32_t s;
+      if (fmt == 3 && bits == 32) {  // float32
+        float f;
+        memcpy(&f, p, 4);
+        s = (int32_t)(f * 32767.0f);
+      } else if (bits == 16) {
+        s = (int16_t)(p[0] | p[1] << 8);
+      } else if (bits == 8) {
+        s = ((int32_t)p[0] - 128) << 8;
+      } else if (bits == 24) {
+        s = ((int32_t)((uint32_t)p[0] << 8 | (uint32_t)p[1] << 16 | (uint32_t)p[2] << 24)) >> 16;
+      } else if (bits == 32) {
+        int32_t v; memcpy(&v, p, 4); s = v >> 16;
+      } else {
+        *err = "wav: unsupported bit depth " + std::to_string(bits);
+        return false;
+      }
+      acc += s;
+    }
+    acc /= channels;
+    if (acc > 32767) acc = 32767;
+    if (acc < -32768) acc = -32768;
+    (*out)[i] = (int16_t)acc;
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// NIST SPHERE
+// ---------------------------------------------------------------------------
+int16_t ulaw_to_pcm(uint8_t u) {
+  u = ~u;
+  int t = ((u & 0x0F) << 3) + 0x84;
+  t <<= (u & 0x70) >> 4;
+  return (u & 0x80) ? (int16_t)(0x84 - t) : (int16_t)(t - 0x84);
+}
+
+bool decode_sphere(const std::vector<uint8_t>& buf, std::vector<int16_t>* out,
+                   int* rate, std::string* err) {
+  if (buf.size() < 1024 || memcmp(buf.data(), "NIST_1A", 7)) {
+    *err = "not a NIST_1A sphere file";
+    return false;
+  }
+  std::string head((const char*)buf.data(), 1024);
+  long hdr_size = strtol(head.c_str() + 8, nullptr, 10);
+  if (hdr_size <= 0 || (size_t)hdr_size > buf.size()) { *err = "sphere: bad header size"; return false; }
+  std::string hdr((const char*)buf.data(), hdr_size);
+
+  auto field = [&](const char* name) -> std::string {
+    size_t p = hdr.find(name);
+    if (p == std::string::npos) return "";
+    size_t eol = hdr.find('\n', p);
+    std::string line = hdr.substr(p, eol - p);
+    size_t sp = line.rfind(' ');
+    return line.substr(sp + 1);
+  };
+  int sample_rate = atoi(field("sample_rate -i").c_str());
+  int channels = atoi(field("channel_count -i").c_str());
+  int nbytes = atoi(field("sample_n_bytes -i").c_str());
+  std::string coding = field("sample_coding -s");
+  std::string byte_fmt = field("sample_byte_format -s");
+  if (channels <= 0) channels = 1;
+  if (nbytes <= 0) nbytes = 2;
+  if (sample_rate <= 0) sample_rate = 16000;
+  if (coding.find("shorten") != std::string::npos || byte_fmt.find("shorten") != std::string::npos) {
+    *err = "sphere: 'shorten' compression unsupported — convert with sph2pipe";
+    return false;
+  }
+  *rate = sample_rate;
+  const uint8_t* p = buf.data() + hdr_size;
+  size_t data_len = buf.size() - hdr_size;
+  bool ulaw = coding.find("ulaw") != std::string::npos ||
+              (coding.empty() && nbytes == 1);
+  size_t n_frames = data_len / ((ulaw ? 1 : nbytes) * channels);
+  bool big = byte_fmt == "10";
+  out->resize(n_frames);
+  for (size_t i = 0; i < n_frames; i++) {
+    int64_t acc = 0;
+    for (int c = 0; c < channels; c++) {
+      const uint8_t* q = p + (i * channels + c) * (ulaw ? 1 : nbytes);
+      int16_t s;
+      if (ulaw) s = ulaw_to_pcm(*q);
+      else if (big) s = (int16_t)(q[0] << 8 | q[1]);
+      else s = (int16_t)(q[0] | q[1] << 8);
+      acc += s;
+    }
+    (*out)[i] = (int16_t)(acc / channels);
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// FLAC
+// ---------------------------------------------------------------------------
+uint64_t flac_utf8(BitReader* br) {
+  uint32_t b0 = (uint32_t)br->bits(8);
+  int extra;
+  uint64_t v;
+  if (b0 < 0x80) return b0;
+  else if ((b0 & 0xE0) == 0xC0) { v = b0 & 0x1F; extra = 1; }
+  else if ((b0 & 0xF0) == 0xE0) { v = b0 & 0x0F; extra = 2; }
+  else if ((b0 & 0xF8) == 0xF0) { v = b0 & 0x07; extra = 3; }
+  else if ((b0 & 0xFC) == 0xF8) { v = b0 & 0x03; extra = 4; }
+  else if ((b0 & 0xFE) == 0xFC) { v = b0 & 0x01; extra = 5; }
+  else if (b0 == 0xFE) { v = 0; extra = 6; }
+  else { br->ok = false; return 0; }
+  for (int i = 0; i < extra; i++) v = (v << 6) | (br->bits(8) & 0x3F);
+  return v;
+}
+
+bool flac_residual(BitReader* br, int blocksize, int order,
+                   std::vector<int64_t>* resid, std::string* err) {
+  int method = (int)br->bits(2);
+  if (method > 1) { *err = "flac: bad residual method"; return false; }
+  int plen = method == 0 ? 4 : 5;
+  int porder = (int)br->bits(4);
+  int nparts = 1 << porder;
+  resid->resize(blocksize);
+  int idx = order;
+  for (int part = 0; part < nparts; part++) {
+    int count = blocksize >> porder;
+    if (part == 0) count -= order;
+    if (count < 0 || idx + count > blocksize) { *err = "flac: bad partition"; return false; }
+    int param = (int)br->bits(plen);
+    if (param == (1 << plen) - 1) {  // escape: raw bits
+      int rawbits = (int)br->bits(5);
+      for (int i = 0; i < count; i++) (*resid)[idx++] = br->sbits(rawbits);
+    } else {
+      for (int i = 0; i < count; i++) {
+        uint32_t q = br->unary();
+        uint64_t lo = br->bits(param);
+        uint64_t u = ((uint64_t)q << param) | lo;
+        (*resid)[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+      }
+    }
+    if (!br->ok) { *err = "flac: truncated residual"; return false; }
+  }
+  return true;
+}
+
+bool flac_subframe(BitReader* br, int blocksize, int bps,
+                   std::vector<int64_t>* out, std::string* err) {
+  if (br->bits(1)) { *err = "flac: bad subframe padding"; return false; }
+  int type = (int)br->bits(6);
+  int wasted = 0;
+  if (br->bits(1)) { wasted = 1 + (int)br->unary(); }
+  bps -= wasted;
+  out->assign(blocksize, 0);
+
+  if (type == 0) {  // constant
+    int64_t v = br->sbits(bps);
+    for (int i = 0; i < blocksize; i++) (*out)[i] = v;
+  } else if (type == 1) {  // verbatim
+    for (int i = 0; i < blocksize; i++) (*out)[i] = br->sbits(bps);
+  } else if ((type & 0x38) == 0x08 && (type & 7) <= 4) {  // fixed
+    int order = type & 7;
+    for (int i = 0; i < order; i++) (*out)[i] = br->sbits(bps);
+    std::vector<int64_t> resid;
+    if (!flac_residual(br, blocksize, order, &resid, err)) return false;
+    for (int i = order; i < blocksize; i++) {
+      int64_t p;
+      switch (order) {
+        case 0: p = 0; break;
+        case 1: p = (*out)[i - 1]; break;
+        case 2: p = 2 * (*out)[i - 1] - (*out)[i - 2]; break;
+        case 3: p = 3 * (*out)[i - 1] - 3 * (*out)[i - 2] + (*out)[i - 3]; break;
+        default: p = 4 * (*out)[i - 1] - 6 * (*out)[i - 2] + 4 * (*out)[i - 3] - (*out)[i - 4]; break;
+      }
+      (*out)[i] = p + resid[i];
+    }
+  } else if (type & 0x20) {  // LPC
+    int order = (type & 0x1F) + 1;
+    for (int i = 0; i < order; i++) (*out)[i] = br->sbits(bps);
+    int precision = (int)br->bits(4) + 1;
+    if (precision == 16) { *err = "flac: bad lpc precision"; return false; }
+    int shift = (int)br->sbits(5);
+    std::vector<int64_t> coef(order);
+    for (int i = 0; i < order; i++) coef[i] = br->sbits(precision);
+    std::vector<int64_t> resid;
+    if (!flac_residual(br, blocksize, order, &resid, err)) return false;
+    for (int i = order; i < blocksize; i++) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; j++) acc += coef[j] * (*out)[i - 1 - j];
+      (*out)[i] = (acc >> shift) + resid[i];
+    }
+  } else {
+    *err = "flac: reserved subframe type";
+    return false;
+  }
+  if (wasted) for (int i = 0; i < blocksize; i++) (*out)[i] <<= wasted;
+  return br->ok;
+}
+
+bool decode_flac(const std::vector<uint8_t>& buf, std::vector<int16_t>* out,
+                 int* rate, std::string* err) {
+  if (buf.size() < 42 || memcmp(buf.data(), "fLaC", 4)) {
+    *err = "not a FLAC file";
+    return false;
+  }
+  size_t pos = 4;
+  int sample_rate = 0, channels = 0, bps = 0;
+  uint64_t total_samples = 0;
+  bool last = false;
+  while (!last && pos + 4 <= buf.size()) {
+    uint8_t h = buf[pos];
+    last = h & 0x80;
+    int type = h & 0x7F;
+    uint32_t len = (uint32_t)buf[pos + 1] << 16 | buf[pos + 2] << 8 | buf[pos + 3];
+    pos += 4;
+    if (type == 0 && len >= 34) {  // STREAMINFO
+      BitReader br{buf.data() + pos, len};
+      br.bits(16); br.bits(16); br.bits(24); br.bits(24);
+      sample_rate = (int)br.bits(20);
+      channels = (int)br.bits(3) + 1;
+      bps = (int)br.bits(5) + 1;
+      total_samples = br.bits(36);
+    }
+    pos += len;
+  }
+  if (!sample_rate || !channels) { *err = "flac: missing STREAMINFO"; return false; }
+  *rate = sample_rate;
+  out->clear();
+  if (total_samples) out->reserve(total_samples);
+
+  BitReader br{buf.data() + pos, buf.size() - pos};
+  std::vector<std::vector<int64_t>> ch(channels);
+  while (br.byte_pos < br.size - 1) {
+    // frame header
+    if (br.bits(14) != 0x3FFE) { *err = "flac: lost frame sync"; return false; }
+    br.bits(1);  // reserved
+    br.bits(1);  // blocking strategy
+    int bs_code = (int)br.bits(4);
+    int sr_code = (int)br.bits(4);
+    int ch_asgn = (int)br.bits(4);
+    int ss_code = (int)br.bits(3);
+    br.bits(1);  // reserved
+    flac_utf8(&br);
+    int blocksize;
+    switch (bs_code) {
+      case 1: blocksize = 192; break;
+      case 2: case 3: case 4: case 5: blocksize = 576 << (bs_code - 2); break;
+      case 6: blocksize = (int)br.bits(8) + 1; break;
+      case 7: blocksize = (int)br.bits(16) + 1; break;
+      default: blocksize = 256 << (bs_code - 8); break;
+    }
+    if (sr_code == 12) br.bits(8);
+    else if (sr_code == 13 || sr_code == 14) br.bits(16);
+    int frame_bps = bps;
+    switch (ss_code) {
+      case 1: frame_bps = 8; break;
+      case 2: frame_bps = 12; break;
+      case 4: frame_bps = 16; break;
+      case 5: frame_bps = 20; break;
+      case 6: frame_bps = 24; break;
+      case 7: frame_bps = 32; break;
+      default: break;
+    }
+    br.bits(8);  // header crc8 (not verified)
+    if (!br.ok) { *err = "flac: truncated frame header"; return false; }
+
+    int nch = ch_asgn < 8 ? ch_asgn + 1 : 2;
+    for (int c = 0; c < nch; c++) {
+      int sub_bps = frame_bps;
+      if ((ch_asgn == 8 && c == 1) || (ch_asgn == 9 && c == 0) ||
+          (ch_asgn == 10 && c == 1))
+        sub_bps += 1;  // side channel
+      if (!flac_subframe(&br, blocksize, sub_bps, &ch[c], err)) return false;
+    }
+    br.align();
+    br.bits(16);  // frame crc16 (not verified)
+    if (!br.ok) { *err = "flac: truncated frame"; return false; }
+
+    // stereo decorrelation → interleave/average to mono int16
+    for (int i = 0; i < blocksize; i++) {
+      int64_t a, b, s;
+      switch (ch_asgn) {
+        case 8: a = ch[0][i]; b = a - ch[1][i]; break;          // left/side
+        case 9: b = ch[1][i]; a = ch[0][i] + b; break;          // right/side
+        case 10: {                                               // mid/side
+          int64_t mid = ch[0][i], side = ch[1][i];
+          a = ((mid << 1) | (side & 1)) + side;
+          a >>= 1;
+          b = a - side;
+          break;
+        }
+        default: a = ch[0][i]; b = nch > 1 ? ch[1][i] : a; break;
+      }
+      s = nch > 1 ? (a + b) / 2 : a;
+      if (frame_bps > 16) s >>= (frame_bps - 16);
+      else if (frame_bps < 16) s <<= (16 - frame_bps);
+      if (s > 32767) s = 32767;
+      if (s < -32768) s = -32768;
+      out->push_back((int16_t)s);
+    }
+    if (total_samples && out->size() >= total_samples) break;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+int plu_decode_audio(const char* path, int16_t** out_buf, long long* n_samples,
+                     int* sample_rate, char* err, int errlen) {
+  FILE* f = fopen(path, "rb");
+  if (!f) { set_err(err, errlen, std::string("cannot open ") + path); return 1; }
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(sz);
+  if (fread(buf.data(), 1, sz, f) != (size_t)sz) {
+    fclose(f);
+    set_err(err, errlen, "short read");
+    return 1;
+  }
+  fclose(f);
+
+  std::vector<int16_t> samples;
+  int rate = 0;
+  std::string e;
+  bool ok;
+  if (sz >= 4 && !memcmp(buf.data(), "RIFF", 4)) ok = decode_wav(buf, &samples, &rate, &e);
+  else if (sz >= 7 && !memcmp(buf.data(), "NIST_1A", 7)) ok = decode_sphere(buf, &samples, &rate, &e);
+  else if (sz >= 4 && !memcmp(buf.data(), "fLaC", 4)) ok = decode_flac(buf, &samples, &rate, &e);
+  else { ok = false; e = "unrecognized audio container"; }
+
+  if (!ok) { set_err(err, errlen, e); return 1; }
+  *out_buf = (int16_t*)malloc(samples.size() * sizeof(int16_t));
+  memcpy(*out_buf, samples.data(), samples.size() * sizeof(int16_t));
+  *n_samples = (long long)samples.size();
+  *sample_rate = rate;
+  return 0;
+}
+
+void plu_free(int16_t* buf) { free(buf); }
+
+}  // extern "C"

@@ -1,0 +1,103 @@
+"""Shared CLI wiring: resolve a preset against a prepared data dir."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from phones_las_tpu.data.ipa import BINF_FEATURES, TIMIT_FOLD_39, binf_matrix
+from phones_las_tpu.data.vocab import Vocab
+from phones_las_tpu.frontend.cmvn import CmvnStats
+from phones_las_tpu.models.las import LASConfig, LASParams
+from phones_las_tpu.utils.config import Preset, get_preset
+
+
+def load_data_dir(data_dir: str):
+    vocab = Vocab.load(os.path.join(data_dir, "vocab.txt"))
+    gpath = os.path.join(data_dir, "grapheme_vocab.txt")
+    grapheme_vocab = Vocab.load(gpath) if os.path.exists(gpath) else None
+    cpath = os.path.join(data_dir, "cmvn.json")
+    cmvn = CmvnStats.load(cpath) if os.path.exists(cpath) else None
+    return vocab, grapheme_vocab, cmvn
+
+
+def resolve_preset(
+    name: str, data_dir: str, overrides: Optional[Dict] = None
+) -> Tuple[Preset, Vocab, Optional[Vocab], Optional[CmvnStats], Optional[np.ndarray]]:
+    """Bind a named preset to the actual vocab sizes / binf codes / CMVN
+    of a prepared data dir."""
+    vocab, grapheme_vocab, cmvn = load_data_dir(data_dir)
+    preset = get_preset(name)
+    model = preset.model
+    speller = dataclasses.replace(
+        model.speller,
+        vocab_size=len(vocab),
+        bos_id=vocab.sos_id,
+        eos_id=vocab.eos_id,
+        memory_dim=2 * model.listener.units,
+    )
+    binf_codes = None
+    if speller.binf_mode != "none":
+        binf_codes = binf_matrix(vocab.tokens)
+        speller = dataclasses.replace(speller, num_binf=len(BINF_FEATURES))
+    g_speller = model.grapheme_speller
+    if g_speller is not None:
+        assert grapheme_vocab is not None, "preset needs grapheme_vocab.txt"
+        g_speller = dataclasses.replace(
+            g_speller,
+            vocab_size=len(grapheme_vocab),
+            bos_id=grapheme_vocab.sos_id,
+            eos_id=grapheme_vocab.eos_id,
+            memory_dim=2 * model.listener.units,
+        )
+    model = dataclasses.replace(model, speller=speller, grapheme_speller=g_speller)
+    pipeline = dataclasses.replace(
+        preset.pipeline,
+        eos_id=vocab.eos_id,
+        pad_id=vocab.pad_id,
+        max_grapheme_len=preset.pipeline.max_grapheme_len if g_speller else 0,
+    )
+    train = preset.train
+    for k, v in (overrides or {}).items():
+        if v is None:
+            continue
+        if hasattr(train, k):
+            train = dataclasses.replace(train, **{k: v})
+        elif hasattr(pipeline, k):
+            pipeline = dataclasses.replace(pipeline, **{k: v})
+        elif hasattr(model, k):
+            model = dataclasses.replace(model, **{k: v})
+    preset = dataclasses.replace(
+        preset, model=model, pipeline=pipeline, train=train
+    )
+    return preset, vocab, grapheme_vocab, cmvn, binf_codes
+
+
+def apply_cmvn_to_params(params: LASParams, cmvn: Optional[CmvnStats]) -> LASParams:
+    if cmvn is None:
+        return params
+    import jax.numpy as jnp
+
+    return params._replace(
+        cmvn_mean=jnp.asarray(cmvn.mean, jnp.float32),
+        cmvn_std=jnp.asarray(cmvn.std, jnp.float32),
+    )
+
+
+def timit_score_fold(vocab: Vocab, output_ipa: bool) -> Dict[int, Optional[int]]:
+    """Lee&Hon 61→39 fold as an id→id map for scoring (SURVEY.md App A).
+    For IPA vocabs the fold is expressed through the ARPAbet→IPA map."""
+    from phones_las_tpu.data.ipa import ARPABET_TO_IPA
+
+    fold: Dict[int, Optional[int]] = {}
+    for src, dst in TIMIT_FOLD_39.items():
+        s = ARPABET_TO_IPA.get(src, src) if output_ipa else src
+        d = (ARPABET_TO_IPA.get(dst, dst) if output_ipa else dst) if dst else None
+        if s in vocab and (d is None or d in vocab):
+            fold[vocab.encode([s])[0]] = (
+                None if d is None else vocab.encode([d])[0]
+            )
+    return fold

@@ -1,0 +1,126 @@
+"""Inference CLI (reference: ``infer.py`` — SURVEY.md §4.3).
+
+Restores the latest checkpoint from a workdir, runs greedy or beam
+decoding over record files (optionally sharded over a data-parallel
+mesh), maps ids back through the reverse vocab, writes/prints
+hypotheses, and reports PER when references are present.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--data", required=True, help="a .plu record file or data dir")
+    p.add_argument("--beam-width", type=int, default=0, help="0 = greedy")
+    p.add_argument("--length-penalty", type=float, default=0.0)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--output", default=None, help="write hypotheses TSV here")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard batches over all devices (offline DP inference)")
+    p.add_argument("--implementation", default="xla", choices=["xla", "pallas"])
+    args = p.parse_args(argv)
+
+    import dataclasses
+    import glob
+    import json
+    import os
+
+    import jax
+    import numpy as np
+
+    from phones_las_tpu.cli.common import resolve_preset, timit_score_fold
+    from phones_las_tpu.data.pipeline import DataSource
+    from phones_las_tpu.decode import beam_decode, greedy_decode
+    from phones_las_tpu.models.las import encode
+    from phones_las_tpu.parallel import make_mesh, shard_batch, shard_params
+    from phones_las_tpu.train import Trainer
+    from phones_las_tpu.train.loop import device_batch
+    from phones_las_tpu.train.metrics import edit_distance_stats, per_from_stats
+
+    cfg_file = json.load(open(os.path.join(args.workdir, "config.json")))
+    preset_name, data_dir = cfg_file["preset"], cfg_file["data"]
+    preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(preset_name, data_dir)
+    overrides = {"batch_size": args.batch_size} if args.batch_size else None
+    if overrides:
+        preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(
+            preset_name, data_dir, overrides
+        )
+
+    trainer = Trainer(preset.model, preset.train, workdir=args.workdir,
+                      binf_codes=binf_codes, implementation=args.implementation)
+    assert int(trainer.state.step) > 0, f"no checkpoint in {args.workdir}"
+    params = trainer.state.params
+    model_cfg = preset.model
+
+    mesh = None
+    if args.mesh:
+        mesh = make_mesh(model=1)
+        params = shard_params(params, mesh)
+
+    beam = args.beam_width or preset.beam_width
+    max_steps = preset.pipeline.max_target_len
+
+    @jax.jit
+    def infer_fn(params, audio, lengths):
+        memory, _, enc_mask = encode(
+            params, model_cfg, audio, lengths,
+            implementation=args.implementation,
+        )
+        if beam:
+            res = beam_decode(
+                params.speller, model_cfg.speller, memory, enc_mask,
+                max_steps, beam_width=beam, length_penalty=args.length_penalty,
+            )
+            return res.tokens, res.lengths
+        toks, lens, _ = greedy_decode(
+            params.speller, model_cfg.speller, memory, enc_mask, max_steps
+        )
+        return toks, lens
+
+    if os.path.isdir(args.data):
+        paths = sorted(glob.glob(os.path.join(args.data, "*.plu")))
+    else:
+        paths = [args.data]
+    pipe_cfg = dataclasses.replace(
+        preset.pipeline, shuffle=False, drop_remainder=False
+    )
+    source = DataSource(paths, pipe_cfg)
+
+    meta_path = os.path.join(data_dir, "meta.json")
+    fold = None
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        if meta.get("corpus") == "timit":
+            fold = timit_score_fold(vocab, meta.get("output_ipa", True))
+
+    out_f = open(args.output, "w") if args.output else None
+    dist = tokens_total = 0
+    n_utts = 0
+    for batch in source.epoch(0):
+        db = shard_batch(batch, mesh) if mesh else device_batch(batch)
+        toks, lens = infer_fn(params, db["audio"], db["audio_lengths"])
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        d, t = edit_distance_stats(
+            toks, lens, batch["targets"], batch["target_lengths"] - 1,
+            num_real=batch["num_real"], fold=fold,
+        )
+        dist += d
+        tokens_total += t
+        for i in range(batch["num_real"]):
+            hyp = " ".join(vocab.decode(toks[i][: lens[i]]))
+            line = f"{batch['utt_ids'][i]}\t{hyp}"
+            print(line) if out_f is None else out_f.write(line + "\n")
+            n_utts += 1
+    if out_f:
+        out_f.close()
+    if tokens_total:
+        print(f"# {n_utts} utterances, PER={per_from_stats(dist, tokens_total):.4f} "
+              f"({dist}/{tokens_total})")
+
+
+if __name__ == "__main__":
+    main()

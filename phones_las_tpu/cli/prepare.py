@@ -1,0 +1,76 @@
+"""Data preparation CLI (reference: ``process_*.py`` scripts)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="corpus", required=True)
+
+    t = sub.add_parser("timit")
+    t.add_argument("--root", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--arpabet", action="store_true",
+                   help="keep ARPAbet labels instead of IPA (--output_ipa off)")
+    t.add_argument("--include-sa", action="store_true")
+
+    l = sub.add_parser("librispeech")
+    l.add_argument("--root", required=True)
+    l.add_argument("--out", required=True)
+    l.add_argument("--splits", nargs="+",
+                   default=["train-clean-100", "dev-clean", "test-clean"])
+    l.add_argument("--targets", choices=["char", "phone"], default="char")
+
+    c = sub.add_parser("common_voice")
+    c.add_argument("--root", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--langs", nargs="+", required=True)
+    c.add_argument("--tsv", default="validated.tsv")
+    c.add_argument("--max-per-lang", type=int, default=None)
+
+    s = sub.add_parser("synthetic")
+    s.add_argument("--out", required=True)
+    s.add_argument("--n-utts", type=int, default=128)
+    s.add_argument("--n-phones", type=int, default=10)
+
+    args = p.parse_args(argv)
+    if args.corpus == "timit":
+        from phones_las_tpu.data.timit import prepare_timit
+
+        prepare_timit(args.root, args.out, output_ipa=not args.arpabet,
+                      include_sa=args.include_sa)
+    elif args.corpus == "librispeech":
+        from phones_las_tpu.data.librispeech import prepare_librispeech
+
+        prepare_librispeech(args.root, args.out, splits=tuple(args.splits),
+                            targets=args.targets)
+    elif args.corpus == "common_voice":
+        from phones_las_tpu.data.common_voice import prepare_common_voice
+
+        prepare_common_voice(args.root, args.out, args.langs, tsv=args.tsv,
+                             max_per_lang=args.max_per_lang)
+    else:
+        import os
+
+        from phones_las_tpu.data.prep_common import finalize_split_dir
+        from phones_las_tpu.data.synthetic import write_synth_corpus
+
+        os.makedirs(args.out, exist_ok=True)
+        _, vocab = write_synth_corpus(
+            os.path.join(args.out, "train.plu"),
+            n_utts=args.n_utts, n_phones=args.n_phones,
+        )
+        write_synth_corpus(
+            os.path.join(args.out, "test.plu"),
+            n_utts=max(args.n_utts // 4, 8), n_phones=args.n_phones, seed=1,
+        )
+        finalize_split_dir(
+            args.out, vocab, cmvn_from=os.path.join(args.out, "train.plu"),
+            meta={"corpus": "synthetic"},
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Training CLI (reference: ``train.py`` — SURVEY.md §4.1).
+
+Resolves a preset against a prepared data dir, dumps the bound config
+into the workdir (resume parity), trains with periodic eval +
+checkpointing, TensorBoard metrics when clu is available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="timit_phone_las",
+                   help="one of utils.config.PRESETS")
+    p.add_argument("--data", required=True, help="prepared data dir")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--train-records", default=None,
+                   help="glob under --data (default: train*.plu)")
+    p.add_argument("--eval-records", default=None,
+                   help="glob under --data (default: {dev,test}*.plu)")
+    p.add_argument("--num-steps", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--eval-every", type=int, default=None)
+    p.add_argument("--init-checkpoint", default=None,
+                   help="workdir of another run to warm-start params from")
+    p.add_argument("--implementation", default="xla", choices=["xla", "pallas"])
+    args = p.parse_args(argv)
+
+    import dataclasses
+    import json
+
+    from phones_las_tpu.cli.common import (
+        apply_cmvn_to_params,
+        resolve_preset,
+        timit_score_fold,
+    )
+    from phones_las_tpu.data.pipeline import DataSource
+    from phones_las_tpu.train import Trainer
+
+    overrides = {
+        "num_steps": args.num_steps,
+        "learning_rate": args.learning_rate,
+        "batch_size": args.batch_size,
+        "eval_every": args.eval_every,
+    }
+    preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(
+        args.preset, args.data, overrides
+    )
+
+    os.makedirs(args.workdir, exist_ok=True)
+    with open(os.path.join(args.workdir, "config.json"), "w") as f:
+        json.dump(
+            {"preset": args.preset, "data": args.data,
+             "resolved": dataclasses.asdict(preset)},
+            f, indent=2, default=str,
+        )
+
+    train_glob = args.train_records or "train*.plu"
+    train_paths = sorted(glob.glob(os.path.join(args.data, train_glob)))
+    assert train_paths, f"no records match {train_glob} in {args.data}"
+    eval_paths = []
+    for g in ([args.eval_records] if args.eval_records else ["dev*.plu", "test*.plu"]):
+        eval_paths += sorted(glob.glob(os.path.join(args.data, g)))
+
+    meta_path = os.path.join(args.data, "meta.json")
+    fold = None
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        if meta.get("corpus") == "timit":
+            fold = timit_score_fold(vocab, meta.get("output_ipa", True))
+
+    source = DataSource(train_paths, preset.pipeline)
+    eval_cfg = dataclasses.replace(
+        preset.pipeline, shuffle=False, drop_remainder=False
+    )
+    eval_source = DataSource(eval_paths, eval_cfg) if eval_paths else None
+
+    trainer = Trainer(
+        preset.model, preset.train, workdir=args.workdir,
+        binf_codes=binf_codes, score_fold=fold,
+        implementation=args.implementation,
+    )
+    if args.init_checkpoint and int(trainer.state.step) == 0:
+        from phones_las_tpu.train.checkpoint import load_params_for_warm_start
+
+        params = load_params_for_warm_start(args.init_checkpoint, trainer.state)
+        trainer.state = trainer.state._replace(params=params)
+        print(f"warm-started params from {args.init_checkpoint}")
+    trainer.state = trainer.state._replace(
+        params=apply_cmvn_to_params(trainer.state.params, cmvn)
+    )
+
+    writer = None
+    try:
+        from clu import metric_writers
+
+        writer = metric_writers.create_default_writer(args.workdir)
+    except Exception:
+        pass
+
+    print(f"training {args.preset}: vocab={len(vocab)} "
+          f"steps={preset.train.num_steps} workdir={args.workdir}")
+    trainer.fit(
+        source.repeat(trainer.start_epoch),
+        eval_batches_fn=(lambda: eval_source.epoch(0)) if eval_source else None,
+        writer=writer,
+    )
+    if eval_source:
+        print("final eval:", trainer.evaluate(
+            eval_source.epoch(0), max_steps=preset.pipeline.max_target_len))
+
+
+if __name__ == "__main__":
+    main()

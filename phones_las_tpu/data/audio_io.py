@@ -1,0 +1,193 @@
+"""Audio input: native (C++) decoder with Python fallbacks.
+
+The hot ingestion path uses ``csrc/plu_audio.cc`` (WAV / NIST-SPHERE /
+FLAC → int16 mono), compiled on first use with g++ and loaded via
+ctypes. Pure-Python fallbacks cover WAV and SPHERE when no compiler is
+available; FLAC requires the native decoder (LibriSpeech); MP3 (Common
+Voice's distribution format) has no decoder in this environment — the
+Common Voice pipeline accepts pre-converted wav/flac clips and raises a
+clear error on .mp3 (reference used external decoders there too).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CSRC = os.path.join(_REPO_ROOT, "csrc")
+_BUILD_DIR = os.path.join(_CSRC, "build")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _build_native() -> Optional[str]:
+    src = os.path.join(_CSRC, "plu_audio.cc")
+    if not os.path.exists(src):
+        return None
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    so = os.path.join(_BUILD_DIR, "plu_audio.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", so, src]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception:
+        return None
+    return so
+
+
+def _native() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        so = _build_native()
+        if so is None:
+            _lib_failed = True
+            return None
+        lib = ctypes.CDLL(so)
+        lib.plu_decode_audio.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
+        lib.plu_decode_audio.restype = ctypes.c_int
+        lib.plu_free.argtypes = [ctypes.POINTER(ctypes.c_int16)]
+        _lib = lib
+        return _lib
+
+
+def _read_native(path: str) -> Tuple[np.ndarray, int]:
+    lib = _native()
+    assert lib is not None
+    buf = ctypes.POINTER(ctypes.c_int16)()
+    n = ctypes.c_longlong()
+    rate = ctypes.c_int()
+    err = ctypes.create_string_buffer(256)
+    rc = lib.plu_decode_audio(path.encode(), ctypes.byref(buf), ctypes.byref(n),
+                              ctypes.byref(rate), err, 256)
+    if rc != 0:
+        raise ValueError(f"{path}: {err.value.decode()}")
+    try:
+        arr = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
+    finally:
+        lib.plu_free(buf)
+    return arr, rate.value
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python fallbacks
+# ---------------------------------------------------------------------------
+
+
+def _read_wav_py(path: str) -> Tuple[np.ndarray, int]:
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE", f"{path}: not WAV"
+    pos, rate, channels, bits, fmt = 12, 16000, 1, 16, 1
+    pcm = b""
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)
+    if bits == 16:
+        arr = np.frombuffer(pcm, "<i2").astype(np.int32)
+    elif bits == 8:
+        arr = (np.frombuffer(pcm, "u1").astype(np.int32) - 128) << 8
+    elif bits == 32 and fmt == 3:
+        arr = (np.frombuffer(pcm, "<f4") * 32767).astype(np.int32)
+    else:
+        raise ValueError(f"{path}: unsupported wav ({fmt=}, {bits=})")
+    if channels > 1:
+        arr = arr[: len(arr) // channels * channels].reshape(-1, channels).mean(1)
+    return np.clip(arr, -32768, 32767).astype(np.int16), rate
+
+
+_ULAW = None
+
+
+def _read_sphere_py(path: str) -> Tuple[np.ndarray, int]:
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:7] == b"NIST_1A", f"{path}: not NIST sphere"
+    hdr_size = int(data[8:16].split()[0])
+    hdr = data[:hdr_size].decode("ascii", "ignore")
+    fields = {}
+    for line in hdr.splitlines():
+        parts = line.split(" ", 2)
+        if len(parts) == 3 and parts[1].startswith("-"):
+            fields[parts[0]] = parts[2]
+    rate = int(fields.get("sample_rate", "16000"))
+    channels = int(fields.get("channel_count", "1"))
+    nbytes = int(fields.get("sample_n_bytes", "2"))
+    coding = fields.get("sample_coding", "pcm")
+    byte_fmt = fields.get("sample_byte_format", "01")
+    if "shorten" in coding or "shorten" in byte_fmt:
+        raise ValueError(f"{path}: shorten-compressed sphere unsupported (use sph2pipe)")
+    body = data[hdr_size:]
+    if "ulaw" in coding or nbytes == 1:
+        global _ULAW
+        if _ULAW is None:
+            u = np.arange(256, dtype=np.uint8) ^ 0xFF
+            t = ((u & 0x0F).astype(np.int32) << 3) + 0x84
+            t <<= (u & 0x70) >> 4
+            _ULAW = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+        arr = _ULAW[np.frombuffer(body, np.uint8)].astype(np.int32)
+    else:
+        dt = ">i2" if byte_fmt == "10" else "<i2"
+        arr = np.frombuffer(body[: len(body) // 2 * 2], dt).astype(np.int32)
+    if channels > 1:
+        arr = arr[: len(arr) // channels * channels].reshape(-1, channels).mean(1)
+    return arr.astype(np.int16), rate
+
+
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """→ (int16 mono samples, sample_rate). Dispatches on content."""
+    low = path.lower()
+    if low.endswith(".mp3"):
+        raise ValueError(
+            f"{path}: mp3 decoding is unavailable in this environment; "
+            "pre-convert Common Voice clips to wav/flac"
+        )
+    if _native() is not None:
+        return _read_native(path)
+    if low.endswith(".flac"):
+        raise ValueError(
+            f"{path}: FLAC needs the native decoder (csrc/plu_audio.cc) "
+            "and no C++ compiler is available"
+        )
+    with open(path, "rb") as f:
+        magic = f.read(7)
+    if magic[:4] == b"RIFF":
+        return _read_wav_py(path)
+    if magic == b"NIST_1A":
+        return _read_sphere_py(path)
+    raise ValueError(f"{path}: unrecognized audio container")
+
+
+def write_wav(path: str, samples: np.ndarray, rate: int = 16000) -> None:
+    """Minimal PCM16 mono writer (for tests and tools)."""
+    samples = np.ascontiguousarray(samples, np.int16)
+    with open(path, "wb") as f:
+        data = samples.tobytes()
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
