@@ -69,6 +69,10 @@ class FrontendConfig:
     window: str = "rect"  # psf default winfunc is all-ones
     add_deltas: bool = True
     delta_width: int = 2
+    # MXU precision of the DFT/mel/DCT matmuls: 'highest' (6-pass f32,
+    # required for the fp32-parity north star) or 'high' (3-pass bf16,
+    # ~2x faster, |Δlog-mel| ≲ 0.06 — fine for training/production).
+    precision: str = "highest"
 
     @property
     def win_samples(self) -> int:
@@ -218,19 +222,25 @@ def frame_signal(x: jnp.ndarray, cfg: FrontendConfig, n_frames: int) -> jnp.ndar
     return x[..., idx]
 
 
-# Parity-critical matmuls run at HIGHEST precision: on TPU the default is
-# bf16 MXU passes (~1e-2 relative error — measured 13x rel err on the DFT
-# projection), which violates the fp32-parity north star. HIGHEST selects
-# the multi-pass f32 MXU mode; the front-end is a tiny fraction of total
-# FLOPs so this costs nothing end to end.
+# Parity-critical matmuls default to HIGHEST precision: on TPU the
+# default is bf16 MXU passes (~1e-2 relative error — measured 13x rel
+# err on the DFT projection), which violates the fp32-parity north star.
 _HI = jax.lax.Precision.HIGHEST
+
+
+def mxu_precision(cfg: FrontendConfig):
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[cfg.precision]
 
 
 def power_spectrum(frames: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     """[..., T, win] → [..., T, num_bins] via two MXU matmuls."""
     cos_m, sin_m = dft_matrices(cfg)
     basis = jnp.asarray(np.concatenate([cos_m, sin_m], axis=1), dtype=frames.dtype)
-    proj = jnp.matmul(frames, basis, precision=_HI)  # [..., T, 2*bins]
+    proj = jnp.matmul(frames, basis, precision=mxu_precision(cfg))  # [..., T, 2*bins]
     re, im = jnp.split(proj, 2, axis=-1)
     return (re * re + im * im) / cfg.nfft
 
@@ -297,14 +307,16 @@ def extract_features(
     pspec = power_spectrum(frames, cfg)
 
     fb = jnp.asarray(mel_filterbank(cfg), dtype=dtype)
-    mel = jnp.matmul(pspec, fb, precision=_HI)
+    mel = jnp.matmul(pspec, fb, precision=mxu_precision(cfg))
     logmel = jnp.log(jnp.maximum(mel, _LOG_FLOOR))
 
     if cfg.feature_type == "logmel":
         base = logmel
     elif cfg.feature_type == "mfcc":
         dct, lift = _dct_lifter_np(cfg.num_mel, cfg.num_ceps, cfg.lifter)
-        ceps = jnp.matmul(logmel, jnp.asarray(dct, dtype=dtype), precision=_HI)
+        ceps = jnp.matmul(
+            logmel, jnp.asarray(dct, dtype=dtype), precision=mxu_precision(cfg)
+        )
         ceps = ceps * jnp.asarray(lift, dtype=dtype)
         if cfg.append_energy:
             energy = jnp.sum(pspec, axis=-1)

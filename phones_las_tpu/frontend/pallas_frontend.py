@@ -1,0 +1,212 @@
+"""Fused Pallas TPU kernel for the feature front-end.
+
+The north star names this kernel explicitly: "framing, STFT, log-mel
+filterbank/MFCC ... fuse into a single Pallas kernel". Design:
+
+  * grid = (B/8 batch groups, frame-tiles). The signal stays in HBM
+    (``ANY`` memory space); each program DMAs just its tile's sample
+    window for 8 utterances into VMEM ((8, chunk) slices satisfy the
+    8-sublane/128-lane DMA alignment; the tile stride ft·hop is a
+    multiple of 128 by construction). The windowed real-DFT basis
+    [win, 2·bins] and mel matrix [bins, n_mel] are VMEM-resident across
+    the whole grid.
+  * inside a program: 8·FT frames are gathered by *static* strided
+    slices into a VMEM tile [8·FT, win], hit the MXU twice
+    (frames→spectrum projection, power→mel), floor+log on the VPU, and
+    stream out one [8·FT, n_mel] block — the [B, T, win] framed tensor
+    (2.5× the signal) never exists in HBM;
+  * frame energy (for MFCC c0) falls out of the same power tile;
+  * outputs land in a [group, tile, 8·FT, ·] layout that XLA
+    un-shuffles for free.
+
+Preemphasis/length-masking stay in XLA before the kernel (elementwise,
+fused for free); deltas/CMVN/DCT stay in XLA after it (tiny, fused).
+Numerics are identical to ``features.extract_features`` (HIGHEST-precision
+MXU passes) — asserted by tests within ~1e-4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phones_las_tpu.frontend import features as F
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+_ROWS = 8  # utterances per program (DMA sublane alignment quantum)
+
+
+def _kernel(
+    ft: int, win: int, hop: int, nfft: int, n_bins: int, log_floor: float,
+    chunk: int, prec=_HI,
+):
+    def kernel(sig_hbm, basis_ref, mel_ref, out_ref, energy_ref,
+               chunk_scr, frames_scr, sem):
+        bg = pl.program_id(0)  # batch group of _ROWS utterances
+        ti = pl.program_id(1)  # frame tile
+        # DMA this tile's sample window for 8 utterances from HBM into
+        # VMEM (offsets are 8-sublane / 128-lane aligned by construction:
+        # ft·hop ≡ 0 mod 128). Neither the full signal rows nor the
+        # framed tensor ever exist in VMEM/HBM respectively.
+        dma = pltpu.make_async_copy(
+            sig_hbm.at[pl.ds(bg * _ROWS, _ROWS), pl.ds(ti * (ft * hop), chunk)],
+            chunk_scr,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+        # static strided gather: [_ROWS·ft, win] frame tile
+        for r in range(_ROWS):
+            for tt in range(ft):
+                frames_scr[r * ft + tt, :] = chunk_scr[r, tt * hop : tt * hop + win]
+        proj = jax.lax.dot_general(
+            frames_scr[:, :], basis_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        re = proj[:, :n_bins]
+        im = proj[:, n_bins:]
+        power = (re * re + im * im) * (1.0 / nfft)  # [_ROWS*FT, bins]
+        energy_ref[0, 0, :, 0] = jnp.sum(power, axis=1)
+        mel = jax.lax.dot_general(
+            power, mel_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        out_ref[0, 0, :, :] = jnp.log(jnp.maximum(mel, log_floor))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_frames", "interpret", "frame_tile")
+)
+def fused_logmel(
+    signal: jnp.ndarray,  # [B, S] float32, already preemphasized+masked
+    cfg: F.FrontendConfig,
+    n_frames: int,
+    *,
+    interpret: bool = False,
+    frame_tile: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (logmel [B, n_frames, n_mel], energy [B, n_frames])."""
+    b, s = signal.shape
+    win, hop = cfg.win_samples, cfg.hop_samples
+    n_bins = cfg.num_bins
+
+    ft = min(frame_tile, max(n_frames, 8))
+    # keep the per-tile lane offset (ft·hop) 128-aligned for the DMA
+    while (ft * hop) % 128 and ft < n_frames:
+        ft += 1
+    n_tiles = pl.cdiv(n_frames, ft)
+    t_pad = n_tiles * ft
+    chunk = (ft - 1) * hop + win
+    chunk_pad = ((chunk + 127) // 128) * 128
+    b_pad = ((b + _ROWS - 1) // _ROWS) * _ROWS
+    needed = (n_tiles - 1) * (ft * hop) + chunk_pad
+    pad_s = max(needed - s, 0)
+    if pad_s or b_pad != b:
+        signal = jnp.pad(signal, ((0, b_pad - b), (0, pad_s)))
+    n_groups = b_pad // _ROWS
+
+    cos_m, sin_m = F.dft_matrices(cfg)
+    basis = jnp.asarray(np.concatenate([cos_m, sin_m], axis=1), jnp.float32)
+    mel = jnp.asarray(F.mel_filterbank(cfg), jnp.float32)
+
+    out4, energy4 = pl.pallas_call(
+        _kernel(ft, win, hop, cfg.nfft, n_bins, F._LOG_FLOOR, chunk_pad,
+                F.mxu_precision(cfg)),
+        grid=(n_groups, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # signal stays in HBM
+            pl.BlockSpec((win, 2 * n_bins), lambda bg, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bins, cfg.num_mel), lambda bg, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, _ROWS * ft, cfg.num_mel),
+                         lambda bg, ti: (bg, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _ROWS * ft, 1),
+                         lambda bg, ti: (bg, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_groups, n_tiles, _ROWS * ft, cfg.num_mel),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, n_tiles, _ROWS * ft, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS, chunk_pad), jnp.float32),
+            pltpu.VMEM((_ROWS * ft, win), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(signal, basis, mel)
+    # [G, TI, R*FT, M] → [G, R, TI, FT, M] → [B, T, M] (cheap XLA shuffle)
+    out = out4.reshape(n_groups, n_tiles, _ROWS, ft, cfg.num_mel)
+    out = out.transpose(0, 2, 1, 3, 4).reshape(b_pad, t_pad, cfg.num_mel)
+    energy = energy4.reshape(n_groups, n_tiles, _ROWS, ft)
+    energy = energy.transpose(0, 2, 1, 3).reshape(b_pad, t_pad)
+    return out[:b, :n_frames], energy[:b, :n_frames]
+
+
+def extract_features_pallas(
+    signal: jnp.ndarray,
+    cfg: F.FrontendConfig,
+    *,
+    n_frames: Optional[int] = None,
+    sample_lengths: Optional[jnp.ndarray] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Drop-in fused replacement for ``features.extract_features`` on
+    batched [B, S] input (same padded-batch semantics)."""
+    assert signal.ndim == 2, "fused front-end expects [B, S]"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if n_frames is None:
+        n_frames = F.frames_for_samples(signal.shape[-1], cfg)
+    x = signal.astype(jnp.float32)
+    x = F.preemphasize(x, cfg.preemphasis)
+    frame_lengths = None
+    if sample_lengths is not None:
+        sample_lengths = jnp.asarray(sample_lengths)
+        pos = jnp.arange(x.shape[-1])
+        x = jnp.where(pos < sample_lengths[..., None], x, 0)
+        frame_lengths = F.num_frames(sample_lengths, cfg)
+
+    logmel, energy = fused_logmel(x, cfg, n_frames, interpret=interpret)
+
+    if cfg.feature_type == "logmel":
+        base = logmel
+    else:
+        dct, lift = F._dct_lifter_np(cfg.num_mel, cfg.num_ceps, cfg.lifter)
+        ceps = jnp.matmul(
+            logmel, jnp.asarray(dct, jnp.float32), precision=F.mxu_precision(cfg)
+        )
+        ceps = ceps * jnp.asarray(lift, jnp.float32)
+        if cfg.append_energy:
+            log_e = jnp.log(jnp.maximum(energy, F._LOG_FLOOR))
+            ceps = jnp.concatenate([log_e[..., None], ceps[..., 1:]], axis=-1)
+        base = ceps
+
+    if frame_lengths is not None:
+        base = F._clamp_to_length(base, frame_lengths)
+    if not cfg.add_deltas:
+        return base
+    d1 = F._deltas(base, cfg.delta_width)
+    if frame_lengths is not None:
+        d1 = F._clamp_to_length(d1, frame_lengths)
+    d2 = F._deltas(d1, cfg.delta_width)
+    return jnp.concatenate([base, d1, d2], axis=-1)

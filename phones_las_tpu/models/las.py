@@ -110,10 +110,23 @@ def featurize(
     cfg: LASConfig,
     audio: jnp.ndarray,  # [B, S] PCM float (or [B, T, D] features)
     audio_lengths: jnp.ndarray,  # samples (or frames)
+    *,
+    implementation: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Device-resident front-end + CMVN → (features, frame lengths)."""
     if cfg.input_is_pcm:
-        feats = extract_features(audio, cfg.frontend, sample_lengths=audio_lengths)
+        if implementation == "pallas" and audio.ndim == 2:
+            from phones_las_tpu.frontend.pallas_frontend import (
+                extract_features_pallas,
+            )
+
+            feats = extract_features_pallas(
+                audio, cfg.frontend, sample_lengths=audio_lengths
+            )
+        else:
+            feats = extract_features(
+                audio, cfg.frontend, sample_lengths=audio_lengths
+            )
         flens = num_frames(audio_lengths, cfg.frontend)
     else:
         feats, flens = audio, audio_lengths
@@ -133,7 +146,9 @@ def encode(
     implementation: str = "xla",
 ):
     """Front-end + listener → (memory [B, T', M], enc_lengths, enc_mask)."""
-    feats, flens = featurize(params, cfg, audio, audio_lengths)
+    feats, flens = featurize(
+        params, cfg, audio, audio_lengths, implementation=implementation
+    )
     memory, enc_lens = listen(
         params.listener,
         cfg.listener,
