@@ -67,7 +67,7 @@ def beam_decode(
     mask_bk = tile(enc_mask)
     keys_bk = precompute_keys(params.attention, memory_bk)
 
-    carry0 = init_speller_carry(cfg, b * k, memory.dtype)
+    carry0 = init_speller_carry(cfg, b * k, t_enc, memory.dtype)
     tokens0 = jnp.full((b, k, max_steps), cfg.eos_id, jnp.int32)
     # beam 0 active, others -inf so step 1 spreads over distinct tokens
     logp0 = jnp.tile(jnp.array([0.0] + [_NEG] * (k - 1), jnp.float32), (b, 1))

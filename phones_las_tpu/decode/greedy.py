@@ -39,7 +39,7 @@ def greedy_decode(
     <eos>, alignments [B, max_steps, Tenc] or None)."""
     b = memory.shape[0]
     keys = precompute_keys(params.attention, memory)
-    carry0 = init_speller_carry(cfg, b, memory.dtype)
+    carry0 = init_speller_carry(cfg, b, memory.shape[1], memory.dtype)
     tok0 = jnp.full((b,), cfg.bos_id, jnp.int32)
     fin0 = jnp.zeros((b,), bool)
 

@@ -49,6 +49,9 @@ class SpellerConfig:
     memory_dim: int = 512  # listener output dim (2 × encoder units)
     attention_type: str = "bahdanau"  # see ops.attention variants
     attention_units: int = 256
+    # sigmoid noise for *_monotonic attention during training (TF
+    # sigmoid_noise; 1.0 encourages discrete attend/skip decisions)
+    monotonic_noise: float = 1.0
     attention_layer_size: int = 256  # 0 → raw [cell_out; context] as attn vector
     sampling_probability: float = 0.0
     bos_id: int = 1
@@ -136,14 +139,22 @@ def init_speller(
 class SpellerCarry(NamedTuple):
     states: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]  # per layer (h, c)
     attn_vec: jnp.ndarray  # [B, attn_vec_dim]
+    alignment: jnp.ndarray  # [B, T_enc] previous attention distribution
 
 
-def init_speller_carry(cfg: SpellerConfig, batch: int, dtype=jnp.float32) -> SpellerCarry:
+def init_speller_carry(
+    cfg: SpellerConfig, batch: int, enc_len: int = 1, dtype=jnp.float32
+) -> SpellerCarry:
     states = tuple(
         (jnp.zeros((batch, cfg.units), dtype), jnp.zeros((batch, cfg.units), dtype))
         for _ in range(cfg.num_layers)
     )
-    return SpellerCarry(states, jnp.zeros((batch, cfg.attn_vec_dim), dtype))
+    if cfg.attention_type.endswith("_monotonic"):
+        # TF monotonic initial alignment: dirac at the first frame
+        align = jnp.zeros((batch, enc_len), dtype).at[:, 0].set(1.0)
+    else:
+        align = jnp.zeros((batch, enc_len), dtype)
+    return SpellerCarry(states, jnp.zeros((batch, cfg.attn_vec_dim), dtype), align)
 
 
 def embed_tokens(params: SpellerParams, cfg: SpellerConfig, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -163,6 +174,8 @@ def speller_step(
     memory: jnp.ndarray,  # [B, Tenc, M] listener outputs
     enc_mask: jnp.ndarray,  # [B, Tenc]
     forget_bias: float = 1.0,
+    noise_rng: Optional[jax.Array] = None,
+    sigmoid_noise: float = 0.0,
 ):
     """One decode step → (carry', logits [B, V], extras dict).
 
@@ -180,7 +193,11 @@ def speller_step(
         x = h
     cell_out = x
 
-    probs = attention_scores(params.attention, cfg.attention_type, cell_out, keys, enc_mask)
+    probs = attention_scores(
+        params.attention, cfg.attention_type, cell_out, keys, enc_mask,
+        prev_align=carry.alignment, sigmoid_noise=sigmoid_noise,
+        noise_rng=noise_rng,
+    )
     ctx = attention_context(probs, memory)
     combined = jnp.concatenate([cell_out, ctx], axis=-1)
     attn_vec = combined @ params.attention_layer if params.attention_layer is not None else combined
@@ -196,7 +213,7 @@ def speller_step(
         logits = raw
         if cfg.binf_mode == "head":
             extras["binf_logits"] = attn_vec @ params.binf_w + params.binf_b
-    return SpellerCarry(tuple(new_states), attn_vec), logits, extras
+    return SpellerCarry(tuple(new_states), attn_vec, probs), logits, extras
 
 
 def teacher_forced_decode(
@@ -218,23 +235,29 @@ def teacher_forced_decode(
     """
     b, s = decoder_inputs.shape
     keys = precompute_keys(params.attention, memory)
-    carry0 = init_speller_carry(cfg, b, memory.dtype)
+    carry0 = init_speller_carry(cfg, b, memory.shape[1], memory.dtype)
     use_ss = cfg.sampling_probability > 0.0 and sampling_rng is not None
+    use_rng = sampling_rng is not None
+    monotonic = cfg.attention_type.endswith("_monotonic")
 
     inputs_tm = jnp.transpose(decoder_inputs, (1, 0))  # [S, B]
 
     def step(loop_carry, inp):
         carry, prev_sampled = loop_carry
         token, rng = inp
+        rng_b = rng_c = rng_n = None
+        if use_rng:
+            rng_b, rng_c, rng_n = jax.random.split(rng, 3)
         if use_ss:
-            rng_b, rng_c = jax.random.split(rng)
             take_sample = jax.random.bernoulli(
                 rng_b, cfg.sampling_probability, (b,)
             ) & (prev_sampled >= 0)
             token = jnp.where(take_sample, jnp.maximum(prev_sampled, 0), token)
         emb = embed_tokens(params, cfg, token)
         carry, logits, extras = speller_step(
-            params, cfg, carry, emb, keys, memory, enc_mask
+            params, cfg, carry, emb, keys, memory, enc_mask,
+            noise_rng=rng_n if (monotonic and use_rng) else None,
+            sigmoid_noise=cfg.monotonic_noise if monotonic else 0.0,
         )
         if use_ss:
             sampled = jax.random.categorical(rng_c, logits, axis=-1)
@@ -245,7 +268,7 @@ def teacher_forced_decode(
 
     rngs = (
         jax.random.split(sampling_rng, s)
-        if use_ss
+        if use_rng
         else jnp.zeros((s, 2), jnp.uint32)
     )
     init = (carry0, jnp.full((b,), -1, jnp.int32))

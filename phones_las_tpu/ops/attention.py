@@ -28,12 +28,14 @@ class AttentionParams(NamedTuple):
     wk: [M, A] memory/key projection
     v:  [A] score vector (bahdanau); scalar g for norm/scaled variants
     b:  [A] normalized-bahdanau bias (None otherwise)
+    score_bias: scalar bias on monotonic scores (None otherwise)
     """
 
     wq: Optional[jnp.ndarray]
     wk: jnp.ndarray
     v: Optional[jnp.ndarray]
     b: Optional[jnp.ndarray]
+    score_bias: Optional[jnp.ndarray]
 
 
 def init_attention_params(
@@ -46,20 +48,23 @@ def init_attention_params(
         s = jnp.sqrt(6.0 / (shape[0] + shape[1]))
         return jax.random.uniform(k, shape, dtype, -s, s)
 
-    if variant in ("bahdanau", "bahdanau_norm"):
+    monotonic = variant.endswith("_monotonic")
+    base = variant[: -len("_monotonic")] if monotonic else variant
+    score_bias = jnp.zeros((), dtype) if monotonic else None
+    if base in ("bahdanau", "bahdanau_norm"):
         wq = glorot(k1, (query_dim, attn_units))
         wk = glorot(k2, (memory_dim, attn_units))
         v = jax.random.uniform(
             k3, (attn_units,), dtype,
             -jnp.sqrt(3.0 / attn_units), jnp.sqrt(3.0 / attn_units),
         )
-        b = jnp.zeros((attn_units,), dtype) if variant == "bahdanau_norm" else None
-        return AttentionParams(wq, wk, v, b)
-    if variant in ("luong", "luong_scaled"):
+        b = jnp.zeros((attn_units,), dtype) if base == "bahdanau_norm" else None
+        return AttentionParams(wq, wk, v, b, score_bias)
+    if base in ("luong", "luong_scaled"):
         # Luong "general": score = q · (W_k m); query_dim must equal attn_units.
         wk = glorot(k2, (memory_dim, attn_units))
-        v = jnp.ones((), dtype) if variant == "luong_scaled" else None
-        return AttentionParams(None, wk, v, None)
+        v = jnp.ones((), dtype) if base == "luong_scaled" else None
+        return AttentionParams(None, wk, v, None, score_bias)
     raise ValueError(f"unknown attention variant {variant!r}")
 
 
@@ -68,29 +73,69 @@ def precompute_keys(params: AttentionParams, memory: jnp.ndarray) -> jnp.ndarray
     return jnp.einsum("btm,ma->bta", memory, params.wk)
 
 
+def _raw_scores(params, base_variant, query, keys):
+    if base_variant in ("bahdanau", "bahdanau_norm"):
+        q = query @ params.wq  # [B, A]
+        act = jnp.tanh(keys + q[:, None, :] + (params.b if params.b is not None else 0.0))
+        v = params.v
+        if base_variant == "bahdanau_norm":
+            # weight-normalized v (TF normalize=True): g * v / ||v||, with
+            # g initialized to sqrt(1/A) folded into v's init here.
+            v = v * jax.lax.rsqrt(jnp.sum(v * v) + 1e-12)
+        return jnp.einsum("bta,a->bt", act, v)
+    scores = jnp.einsum("bta,ba->bt", keys, query)
+    if base_variant == "luong_scaled":
+        scores = scores * params.v
+    return scores
+
+
+def monotonic_attention(
+    p_choose: jnp.ndarray,  # [B, T] selection probabilities
+    prev_align: jnp.ndarray,  # [B, T] previous attention distribution
+) -> jnp.ndarray:
+    """Stable "parallel" monotonic attention recursion (Raffel et al.
+    2017; TF ``monotonic_attention(mode='parallel')``):
+
+      α_i[j] = p[j] · Π_{l<j}(1-p[l]) · Σ_{k≤j} α_{i-1}[k] / Π_{l<k+? }…
+
+    computed as p · cumprod₁₋ₚ · cumsum(α_prev / clip(cumprod₁₋ₚ)).
+    """
+    tiny = 1e-10
+    cp = jnp.cumprod(1.0 - p_choose, axis=-1)
+    cp_excl = jnp.concatenate(
+        [jnp.ones_like(cp[..., :1]), cp[..., :-1]], axis=-1
+    )
+    q = prev_align / jnp.clip(cp_excl, tiny, 1.0)
+    return p_choose * cp_excl * jnp.cumsum(q, axis=-1)
+
+
 def attention_scores(
     params: AttentionParams,
     variant: str,
     query: jnp.ndarray,  # [B, Q]
     keys: jnp.ndarray,  # [B, T, A]
     mask: jnp.ndarray,  # [B, T] 1 for valid
+    *,
+    prev_align: Optional[jnp.ndarray] = None,  # monotonic variants only
+    sigmoid_noise: float = 0.0,
+    noise_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Masked softmax attention probabilities [B, T]."""
-    if variant in ("bahdanau", "bahdanau_norm"):
-        q = query @ params.wq  # [B, A]
-        act = jnp.tanh(keys + q[:, None, :] + (params.b if params.b is not None else 0.0))
-        v = params.v
-        if variant == "bahdanau_norm":
-            # weight-normalized v (TF normalize=True): g * v / ||v||, with
-            # g initialized to sqrt(1/A) folded into v's init here.
-            v = v * jax.lax.rsqrt(jnp.sum(v * v) + 1e-12)
-        scores = jnp.einsum("bta,a->bt", act, v)
-    else:
-        scores = jnp.einsum("bta,ba->bt", keys, query)
-        if variant == "luong_scaled":
-            scores = scores * params.v
-    scores = jnp.where(mask > 0, scores, _NEG)
-    return jax.nn.softmax(scores, axis=-1)
+    """Attention probabilities [B, T]: masked softmax for the standard
+    variants, the parallel monotonic recursion for ``*_monotonic``."""
+    monotonic = variant.endswith("_monotonic")
+    base = variant[: -len("_monotonic")] if monotonic else variant
+    scores = _raw_scores(params, base, query, keys)
+    if not monotonic:
+        scores = jnp.where(mask > 0, scores, _NEG)
+        return jax.nn.softmax(scores, axis=-1)
+    assert prev_align is not None, "monotonic attention needs prev_align"
+    scores = scores + params.score_bias
+    if sigmoid_noise > 0.0 and noise_rng is not None:
+        scores = scores + sigmoid_noise * jax.random.normal(
+            noise_rng, scores.shape, scores.dtype
+        )
+    p_choose = jax.nn.sigmoid(scores) * mask  # never select padding
+    return monotonic_attention(p_choose, prev_align)
 
 
 def attention_context(probs: jnp.ndarray, memory: jnp.ndarray) -> jnp.ndarray:

@@ -133,7 +133,15 @@ def _recurrence_pallas(
     original time indices (matching ``lax.scan(reverse=True)``)."""
     t, b, four_u = xp_tm.shape
     u = four_u // 4
-    tc = min(32, t)
+    # time-chunk sized to a ~12 MB VMEM budget: the Pallas pipeline
+    # double-buffers the [tc, B, 4U] input and [tc, B, U] output blocks,
+    # and Wh + (h, c) scratch are resident.
+    resident = u * four_u * 4 + 2 * b * u * 4
+    per_tc = 2 * 4 * b * (four_u + u + 1)
+    budget_tc = max(8, min(32, (12 * 2**20 - resident) // per_tc) // 8 * 8)
+    # Mosaic block rule: sublane dim (tc) must be a multiple of 8 or equal
+    # the (padded) array dim — single-block when the sequence is short.
+    tc = t if t <= budget_tc else budget_tc
     n_blocks = pl.cdiv(t, tc)
     t_pad = n_blocks * tc
     if t_pad != t:

@@ -63,7 +63,7 @@ def test_greedy_matches_manual_loop():
 
     # manual eager loop
     keys = precompute_keys(params.attention, mem)
-    carry = init_speller_carry(cfg, 2)
+    carry = init_speller_carry(cfg, 2, mem.shape[1])
     tok = jnp.asarray([BOS, BOS], jnp.int32)
     fin = np.zeros(2, bool)
     for s in range(7):
@@ -84,7 +84,7 @@ def _oracle_beam(params, cfg, mem, mask, max_steps, k):
         mem_n, mask_n = mem[n : n + 1], mask[n : n + 1]
         keys = precompute_keys(params.attention, mem_n)
         beams = [
-            {"carry": init_speller_carry(cfg, 1), "toks": [], "logp": 0.0,
+            {"carry": init_speller_carry(cfg, 1, mem.shape[1]), "toks": [], "logp": 0.0,
              "fin": False, "len": 0, "prev": BOS}
         ]
         beams += [dict(beams[0], logp=-1e9) for _ in range(k - 1)]
