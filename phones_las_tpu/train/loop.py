@@ -156,7 +156,7 @@ class Trainer:
                     writer.write_scalars(step, {k: v for k, v in msg.items() if k != "step"})
                 t0, window_loss, window_n = time.time(), 0.0, 0
             if eval_batches_fn is not None and step % tc.eval_every == 0:
-                ev = self.evaluate(eval_batches_fn())
+                ev = self.evaluate(eval_batches_fn(), writer=writer, step=step)
                 log_fn(f"eval @ {step}: {ev}")
                 if writer is not None:
                     writer.write_scalars(step, {f"eval/{k}": v for k, v in ev.items()})
@@ -169,13 +169,28 @@ class Trainer:
         return self.state
 
     # ------------------------------------------------------------------
-    def evaluate(self, batches: Iterator[Dict], max_steps: Optional[int] = None) -> Dict:
+    def evaluate(
+        self,
+        batches: Iterator[Dict],
+        max_steps: Optional[int] = None,
+        *,
+        writer=None,
+        step: Optional[int] = None,
+    ) -> Dict:
         dist = tokens = 0
         losses = []
+        first_image = None
         steps_cap = max_steps or self._default_cap()
         for batch in batches:
             out = self._eval_step(self.state.params, device_batch(batch), steps_cap)
             losses.append(float(out["loss"]))
+            if first_image is None and batch.get("num_real", 1) > 0:
+                # the reference's diagonal-alignment diagnostic image
+                first_image = M.attention_image(
+                    np.asarray(out["alignments"][0]),
+                    int(np.asarray(out["lengths"][0])) or 1,
+                    int(np.asarray(out["enc_lengths"][0])),
+                )
             d, t = M.edit_distance_stats(
                 np.asarray(out["tokens"]),
                 np.asarray(out["lengths"]),
@@ -186,6 +201,11 @@ class Trainer:
             )
             dist += d
             tokens += t
+        if writer is not None and first_image is not None:
+            writer.write_images(
+                step if step is not None else int(self.state.step),
+                {"attention_alignment": first_image[None]},
+            )
         return {
             "loss": float(np.mean(losses)) if losses else float("nan"),
             "per": M.per_from_stats(dist, tokens),
