@@ -43,7 +43,7 @@ def make_audio(b, seed=0):
 # ---------------------------------------------------------------------------
 
 
-def bench_tpu(batch_size=64, iters=4):
+def bench_tpu(batch_size=64, iters=20):
     import jax
 
     from phones_las_tpu.decode import greedy_decode
@@ -55,7 +55,10 @@ def bench_tpu(batch_size=64, iters=4):
 
     @jax.jit
     def infer(params, audio, lengths):
-        memory, _, enc_mask = encode(params, cfg, audio, lengths)
+        # fused Pallas path: front-end kernel + VMEM-resident LSTM recurrence
+        memory, _, enc_mask = encode(
+            params, cfg, audio, lengths, implementation="pallas"
+        )
         tokens, lens, _ = greedy_decode(
             params.speller, cfg.speller, memory, enc_mask, max_steps=DECODE_STEPS
         )
@@ -65,16 +68,16 @@ def bench_tpu(batch_size=64, iters=4):
     lengths = jax.numpy.full((batch_size,), N_SAMPLES, jax.numpy.int32)
 
     # NB: on the tunneled backend block_until_ready can return before the
-    # work is done; a host fetch of the (tiny) token output is the only
-    # reliable barrier, so we sync every iteration through np.asarray.
+    # work is done; only a host fetch reliably synchronizes. The tunnel
+    # adds ~30 ms per fetch, so we queue `iters` executions (the device
+    # runs programs in order) and fetch once at the end.
     t0 = time.time()
-    for _ in range(2):
-        np.asarray(infer(params, audio, lengths)[0])
+    np.asarray(infer(params, audio, lengths)[0])
     log(f"tpu: compile+warmup {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    for _ in range(iters):
-        np.asarray(infer(params, audio, lengths)[0])
+    outs = [infer(params, audio, lengths) for _ in range(iters)]
+    np.asarray(outs[-1][0])
     dt = time.time() - t0
     utts = batch_size * iters
     rate = utts / dt

@@ -204,8 +204,11 @@ def compute_loss(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     implementation: str = "xla",
+    encoded: Optional[Tuple] = None,
 ):
-    """Full forward + losses.
+    """Full forward + losses. Pass ``encoded=(memory, enc_lens, enc_mask)``
+    to reuse an existing encoder pass (eval computes loss and decodes
+    from the same memory).
 
     ``batch`` keys: 'audio' [B,S] + 'audio_lengths' [B] (or features if
     ``input_is_pcm=False``); 'targets' [B,St] phone ids ending in <eos>;
@@ -219,10 +222,13 @@ def compute_loss(
     if rng is not None:
         dropout_rng, sampling_rng, g_sampling_rng = jax.random.split(rng, 3)
 
-    memory, enc_lens, enc_mask = encode(
-        params, cfg, batch["audio"], batch["audio_lengths"],
-        train=train, dropout_rng=dropout_rng, implementation=implementation,
-    )
+    if encoded is not None:
+        memory, enc_lens, enc_mask = encoded
+    else:
+        memory, enc_lens, enc_mask = encode(
+            params, cfg, batch["audio"], batch["audio_lengths"],
+            train=train, dropout_rng=dropout_rng, implementation=implementation,
+        )
 
     targets = batch["targets"]
     t_mask = length_mask(batch["target_lengths"], targets.shape[1], memory.dtype)

@@ -178,6 +178,261 @@ def _recurrence_pallas(
     return out[:t], (hfin, cfin)
 
 
+def _block_budget(b: int, u: int, four_u: int, t: int, streams: int) -> int:
+    """Time-chunk for a ~12MB VMEM budget given `streams` U-sized streamed
+    arrays per step (input+output, double-buffered) plus the 4U input."""
+    resident = u * four_u * 4 * 2 + 4 * b * u * 4  # Wh (+dWh) + state scratch
+    per_tc = 2 * 4 * b * (four_u + streams * u + 1)
+    budget_tc = max(8, min(32, (12 * 2**20 - resident) // per_tc) // 8 * 8)
+    return t if t <= budget_tc else budget_tc
+
+
+def _make_lstm_fwd_res_kernel(tc: int, reverse: bool, forget_bias: float):
+    """Forward kernel that also saves the residuals the backward pass
+    needs: the *unmasked* per-step h'_t and c'_t. (At valid steps these
+    equal the carried state; masked steps are never read back.)"""
+
+    def kernel(xp_ref, mask_ref, wh_ref, out_ref, hraw_ref, craw_ref,
+               hfin_ref, cfin_ref, h_scr, c_scr):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            h_scr[:] = jnp.zeros_like(h_scr)
+            c_scr[:] = jnp.zeros_like(c_scr)
+
+        steps = range(tc - 1, -1, -1) if reverse else range(tc)
+        for tt in steps:
+            gates = xp_ref[tt] + jnp.dot(
+                h_scr[:], wh_ref[:], preferred_element_type=jnp.float32, precision=_HI
+            )
+            h_new, c_new = _cell_math(gates, c_scr[:], forget_bias)
+            m = mask_ref[tt][:, None]
+            h_scr[:] = m * h_new + (1.0 - m) * h_scr[:]
+            c_scr[:] = m * c_new + (1.0 - m) * c_scr[:]
+            out_ref[tt] = m * h_new
+            hraw_ref[tt] = h_new
+            craw_ref[tt] = c_new
+        hfin_ref[:] = h_scr[:]
+        cfin_ref[:] = c_scr[:]
+
+    return kernel
+
+
+def _make_lstm_bwd_kernel(tc: int, reverse: bool, forget_bias: float):
+    """Backward-pass kernel: iterates time in the opposite direction of
+    the forward pass, recomputes the gate activations from (xp, h_prev)
+    — one extra MXU matmul instead of 4U of saved activations — and
+    accumulates dWh in VMEM across the whole grid.
+
+    Per valid step (mask m=1; masked steps pass gradients through):
+      dh'_t   = m·(dout_t + dh)
+      dc'_t   = m·dc + dh'_t·σ(o)·(1−tanh²c')
+      dgates  = [di, df, dg, do]   (zero at masked steps by construction)
+      dxp_t   = dgates
+      dh_prev = (1−m)·dh + dgates @ Whᵀ
+      dc_prev = (1−m)·dc + dc'_t·σ(f+fb)
+      dWh    += h_prevᵀ @ dgates
+    """
+
+    def kernel(xp_ref, hprev_ref, cprev_ref, dout_ref, mask_ref, wh_ref,
+               dhfin_ref, dcfin_ref, dxp_ref, dwh_ref, dh_scr, dc_scr, dwh_scr):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _():
+            dh_scr[:] = dhfin_ref[:]
+            dc_scr[:] = dcfin_ref[:]
+            dwh_scr[:] = jnp.zeros_like(dwh_scr)
+
+        # opposite order vs forward
+        steps = range(tc) if reverse else range(tc - 1, -1, -1)
+        for tt in steps:
+            m = mask_ref[tt][:, None]
+            hprev = hprev_ref[tt]
+            cprev = cprev_ref[tt]
+            gates = xp_ref[tt] + jnp.dot(
+                hprev, wh_ref[:], preferred_element_type=jnp.float32, precision=_HI
+            )
+            gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
+            si = jax.nn.sigmoid(gi)
+            sf = jax.nn.sigmoid(gf + forget_bias)
+            sg = jnp.tanh(gg)
+            so = jax.nn.sigmoid(go)
+            c_new = sf * cprev + si * sg
+            tch = jnp.tanh(c_new)
+
+            dh_tot = m * (dout_ref[tt] + dh_scr[:])
+            dc_new = m * dc_scr[:] + dh_tot * so * (1.0 - tch * tch)
+            do = dh_tot * tch * so * (1.0 - so)
+            df = dc_new * cprev * sf * (1.0 - sf)
+            di = dc_new * sg * si * (1.0 - si)
+            dg = dc_new * si * (1.0 - sg * sg)
+            dgates = jnp.concatenate([di, df, dg, do], axis=-1)
+            dxp_ref[tt] = dgates
+            dwh_scr[:] += jax.lax.dot_general(
+                hprev, dgates, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
+            dh_scr[:] = (1.0 - m) * dh_scr[:] + jax.lax.dot_general(
+                dgates, wh_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
+            dc_scr[:] = (1.0 - m) * dc_scr[:] + dc_new * sf
+
+        @pl.when(i == n - 1)
+        def _():
+            dwh_ref[:] = dwh_scr[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "forget_bias", "interpret"))
+def _recurrence_pallas_residual(
+    xp_tm, mask_tm, wh, reverse=False, forget_bias=1.0, interpret=False
+):
+    t, b, four_u = xp_tm.shape
+    u = four_u // 4
+    tc = _block_budget(b, u, four_u, t, streams=3)
+    n_blocks = pl.cdiv(t, tc)
+    t_pad = n_blocks * tc
+    if t_pad != t:
+        xp_tm = jnp.pad(xp_tm, ((0, t_pad - t), (0, 0), (0, 0)))
+        mask_tm = jnp.pad(mask_tm, ((0, t_pad - t), (0, 0)))
+    blk = lambda i: ((n_blocks - 1 - i) if reverse else i, 0, 0)
+    blk2 = lambda i: ((n_blocks - 1 - i) if reverse else i, 0)
+    fix = lambda i: (0, 0)
+
+    out, hraw, craw, hfin, cfin = pl.pallas_call(
+        _make_lstm_fwd_res_kernel(tc, reverse, forget_bias),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((tc, b, four_u), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, b), blk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, four_u), fix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tc, b, u), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, b, u), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, b, u), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, u), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, u), fix, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b, u), xp_tm.dtype),
+            jax.ShapeDtypeStruct((t_pad, b, u), xp_tm.dtype),
+            jax.ShapeDtypeStruct((t_pad, b, u), xp_tm.dtype),
+            jax.ShapeDtypeStruct((b, u), xp_tm.dtype),
+            jax.ShapeDtypeStruct((b, u), xp_tm.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, u), jnp.float32),
+            pltpu.VMEM((b, u), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp_tm, mask_tm, wh)
+    return out[:t], hraw[:t], craw[:t], hfin, cfin
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "forget_bias", "interpret"))
+def _recurrence_pallas_bwd(
+    xp_tm, mask_tm, wh, hraw, craw, dout, dhfin, dcfin,
+    reverse=False, forget_bias=1.0, interpret=False,
+):
+    t, b, four_u = xp_tm.shape
+    u = four_u // 4
+    zeros = jnp.zeros((1, b, u), xp_tm.dtype)
+    # The carried state before a valid step equals the *previous step's*
+    # raw h'/c' only if that previous step was itself valid; otherwise it
+    # is still the zero init (reverse direction hits this at t = len-1,
+    # whose processing predecessor t = len is masked). Masking the
+    # shifted streams reconstructs the true carried state in all cases.
+    m3 = mask_tm[..., None]
+    if reverse:  # forward pass ran t descending → "prev" is t+1
+        hprev = jnp.concatenate([(hraw * m3)[1:], zeros], axis=0)
+        cprev = jnp.concatenate([(craw * m3)[1:], zeros], axis=0)
+    else:
+        hprev = jnp.concatenate([zeros, (hraw * m3)[:-1]], axis=0)
+        cprev = jnp.concatenate([zeros, (craw * m3)[:-1]], axis=0)
+
+    tc = _block_budget(b, u, four_u, t, streams=7)
+    n_blocks = pl.cdiv(t, tc)
+    t_pad = n_blocks * tc
+    if t_pad != t:
+        pad3 = ((0, t_pad - t), (0, 0), (0, 0))
+        xp_tm = jnp.pad(xp_tm, pad3)
+        hprev = jnp.pad(hprev, pad3)
+        cprev = jnp.pad(cprev, pad3)
+        dout = jnp.pad(dout, pad3)
+        mask_tm = jnp.pad(mask_tm, ((0, t_pad - t), (0, 0)))
+
+    # backward iterates blocks in the OPPOSITE direction of forward
+    blk = lambda i: (i if reverse else (n_blocks - 1 - i), 0, 0)
+    blk2 = lambda i: (i if reverse else (n_blocks - 1 - i), 0)
+    fix = lambda i: (0, 0)
+
+    dxp, dwh = pl.pallas_call(
+        _make_lstm_bwd_kernel(tc, reverse, forget_bias),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((tc, b, four_u), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, b, u), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, b, u), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, b, u), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, b), blk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, four_u), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, u), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, u), fix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tc, b, four_u), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, four_u), fix, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b, four_u), xp_tm.dtype),
+            jax.ShapeDtypeStruct((u, four_u), xp_tm.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, u), jnp.float32),
+            pltpu.VMEM((b, u), jnp.float32),
+            pltpu.VMEM((u, four_u), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp_tm, hprev, cprev, dout, mask_tm, wh, dhfin, dcfin)
+    return dxp[:t], dwh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def pallas_recurrence(xp_tm, mask_tm, wh, reverse, forget_bias, interpret):
+    """Differentiable fused recurrence (custom VJP: Pallas fwd + bwd)."""
+    return _recurrence_pallas(
+        xp_tm, mask_tm, wh, reverse=reverse, forget_bias=forget_bias,
+        interpret=interpret,
+    )
+
+
+def _pallas_rec_fwd(xp_tm, mask_tm, wh, reverse, forget_bias, interpret):
+    out, hraw, craw, hfin, cfin = _recurrence_pallas_residual(
+        xp_tm, mask_tm, wh, reverse=reverse, forget_bias=forget_bias,
+        interpret=interpret,
+    )
+    return (out, (hfin, cfin)), (xp_tm, mask_tm, wh, hraw, craw)
+
+
+def _pallas_rec_bwd(reverse, forget_bias, interpret, res, ct):
+    xp_tm, mask_tm, wh, hraw, craw = res
+    dout, (dhfin, dcfin) = ct
+    dxp, dwh = _recurrence_pallas_bwd(
+        xp_tm, mask_tm, wh, hraw, craw, dout, dhfin, dcfin,
+        reverse=reverse, forget_bias=forget_bias, interpret=interpret,
+    )
+    return dxp, jnp.zeros_like(mask_tm), dwh
+
+
+pallas_recurrence.defvjp(_pallas_rec_fwd, _pallas_rec_bwd)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -189,7 +444,7 @@ def lstm_layer(
     *,
     reverse: bool = False,
     forget_bias: float = 1.0,
-    implementation: str = "xla",  # 'xla' (differentiable) | 'pallas' (fused, fwd-only)
+    implementation: str = "xla",  # 'xla' | 'pallas' (both differentiable)
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Unidirectional LSTM over a padded batch.
 
@@ -201,9 +456,8 @@ def lstm_layer(
     xp_tm = jnp.transpose(xp, (1, 0, 2))
     mask_tm = jnp.transpose(length_mask(lengths, t, xp.dtype), (1, 0))
     if implementation == "pallas":
-        out_tm, state = _recurrence_pallas(
-            xp_tm, mask_tm, params.wh, reverse=reverse, forget_bias=forget_bias,
-            interpret=_use_interpret(),
+        out_tm, state = pallas_recurrence(
+            xp_tm, mask_tm, params.wh, reverse, forget_bias, _use_interpret()
         )
     else:
         out_tm, state = _recurrence_xla(xp_tm, mask_tm, params.wh, forget_bias, reverse)

@@ -106,7 +106,10 @@ class Trainer:
                 params, cfg, batch["audio"], batch["audio_lengths"],
                 implementation=impl,
             )
-            loss, aux = compute_loss(params, cfg, batch, train=False, implementation=impl)
+            loss, aux = compute_loss(
+                params, cfg, batch, train=False, implementation=impl,
+                encoded=(memory, enc_lens, enc_mask),
+            )
             tokens, lengths, aligns = greedy_decode(
                 params.speller, cfg.speller, memory, enc_mask, max_steps,
                 return_alignments=True,
