@@ -21,7 +21,7 @@ def main(argv=None):
     p.add_argument("--output", default=None, help="write hypotheses TSV here")
     p.add_argument("--mesh", action="store_true",
                    help="shard batches over all devices (offline DP inference)")
-    p.add_argument("--implementation", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--implementation", default="auto", choices=["auto", "xla", "pallas"])
     args = p.parse_args(argv)
 
     import dataclasses
@@ -63,12 +63,12 @@ def main(argv=None):
 
     beam = args.beam_width or preset.beam_width
     max_steps = preset.pipeline.max_target_len
+    impl = trainer.implementation  # 'auto' resolved by the Trainer
 
     @jax.jit
     def infer_fn(params, audio, lengths):
         memory, _, enc_mask = encode(
-            params, model_cfg, audio, lengths,
-            implementation=args.implementation,
+            params, model_cfg, audio, lengths, implementation=impl,
         )
         if beam:
             res = beam_decode(

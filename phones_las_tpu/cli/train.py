@@ -28,7 +28,7 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=None)
     p.add_argument("--init-checkpoint", default=None,
                    help="workdir of another run to warm-start params from")
-    p.add_argument("--implementation", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--implementation", default="auto", choices=["auto", "xla", "pallas"])
     args = p.parse_args(argv)
 
     import dataclasses

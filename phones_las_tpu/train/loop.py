@@ -50,11 +50,16 @@ class Trainer:
         *,
         binf_codes: Optional[np.ndarray] = None,
         score_fold: Optional[Dict[int, Optional[int]]] = None,
-        implementation: str = "xla",
+        implementation: str = "auto",
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.score_fold = score_fold
+        if implementation == "auto":
+            # fused Pallas kernels on real TPU (1.5x faster train step,
+            # 1.8x faster inference); XLA scan elsewhere (Pallas would
+            # run interpreted on CPU)
+            implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.implementation = implementation
         self.tx = make_optimizer(train_cfg)
         self.state = create_train_state(
