@@ -67,19 +67,21 @@ def main(argv=None):
 
     @jax.jit
     def infer_fn(params, audio, lengths):
-        memory, _, enc_mask = encode(
-            params, model_cfg, audio, lengths, implementation=impl,
-        )
-        if beam:
-            res = beam_decode(
-                params.speller, model_cfg.speller, memory, enc_mask,
-                max_steps, beam_width=beam, length_penalty=args.length_penalty,
+        with jax.default_matmul_precision(model_cfg.matmul_precision):
+            memory, _, enc_mask = encode(
+                params, model_cfg, audio, lengths, implementation=impl,
             )
-            return res.tokens, res.lengths
-        toks, lens, _ = greedy_decode(
-            params.speller, model_cfg.speller, memory, enc_mask, max_steps
-        )
-        return toks, lens
+            if beam:
+                res = beam_decode(
+                    params.speller, model_cfg.speller, memory, enc_mask,
+                    max_steps, beam_width=beam,
+                    length_penalty=args.length_penalty,
+                )
+                return res.tokens, res.lengths
+            toks, lens, _ = greedy_decode(
+                params.speller, model_cfg.speller, memory, enc_mask, max_steps
+            )
+            return toks, lens
 
     if os.path.isdir(args.data):
         paths = sorted(glob.glob(os.path.join(args.data, "*.plu")))

@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--init-checkpoint", default=None,
                    help="workdir of another run to warm-start params from")
     p.add_argument("--implementation", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable the NaN sanitizer (jax_debug_nans)")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a device trace of the first N steps into "
+                        "<workdir>/profile for TensorBoard")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -103,10 +108,23 @@ def main(argv=None):
     except Exception:
         pass
 
+    if args.debug_nans:
+        from phones_las_tpu.utils.diagnostics import enable_nan_checks
+
+        enable_nan_checks(True)
+    if args.profile_steps:
+        import itertools
+
+        from phones_las_tpu.utils.diagnostics import profile_trace
+
+        with profile_trace(os.path.join(args.workdir, "profile")):
+            trainer.fit(itertools.islice(
+                source.repeat(trainer.start_epoch), args.profile_steps))
+
     print(f"training {args.preset}: vocab={len(vocab)} "
           f"steps={preset.train.num_steps} workdir={args.workdir}")
     trainer.fit(
-        source.repeat(trainer.start_epoch),
+        source,
         eval_batches_fn=(lambda: eval_source.epoch(0)) if eval_source else None,
         writer=writer,
     )

@@ -47,6 +47,11 @@ class LASConfig:
     # precomputed features (reference-style ingestion path)
     input_is_pcm: bool = True
     cmvn: bool = True
+    # default MXU precision for model matmuls (encoder x-projection,
+    # attention, output heads): 'highest' reproduces the reference's f32
+    # numerics (greedy-decode parity north star); 'default' (bf16) trades
+    # parity for speed. Explicit HIGHEST ops (recurrence) are unaffected.
+    matmul_precision: str = "highest"
 
 
 class LASParams(NamedTuple):

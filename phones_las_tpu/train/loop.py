@@ -78,14 +78,17 @@ class Trainer:
         cfg = model_cfg
         impl = implementation
 
+        prec = model_cfg.matmul_precision
+
         def train_step(state: TrainState, batch: Dict):
             rng, step_rng = jax.random.split(state.rng)
 
             def loss_fn(params):
-                return compute_loss(
-                    params, cfg, batch, train=True, rng=step_rng,
-                    implementation=impl,
-                )
+                with jax.default_matmul_precision(prec):
+                    return compute_loss(
+                        params, cfg, batch, train=True, rng=step_rng,
+                        implementation=impl,
+                    )
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
@@ -107,18 +110,19 @@ class Trainer:
             )
 
         def eval_step(params, batch: Dict, max_steps: int):
-            memory, enc_lens, enc_mask = encode(
-                params, cfg, batch["audio"], batch["audio_lengths"],
-                implementation=impl,
-            )
-            loss, aux = compute_loss(
-                params, cfg, batch, train=False, implementation=impl,
-                encoded=(memory, enc_lens, enc_mask),
-            )
-            tokens, lengths, aligns = greedy_decode(
-                params.speller, cfg.speller, memory, enc_mask, max_steps,
-                return_alignments=True,
-            )
+            with jax.default_matmul_precision(prec):
+                memory, enc_lens, enc_mask = encode(
+                    params, cfg, batch["audio"], batch["audio_lengths"],
+                    implementation=impl,
+                )
+                loss, aux = compute_loss(
+                    params, cfg, batch, train=False, implementation=impl,
+                    encoded=(memory, enc_lens, enc_mask),
+                )
+                tokens, lengths, aligns = greedy_decode(
+                    params.speller, cfg.speller, memory, enc_mask, max_steps,
+                    return_alignments=True,
+                )
             return {
                 "loss": aux["loss"],
                 "tokens": tokens,
@@ -133,11 +137,48 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(
         self,
-        batches: Iterator[Dict],
+        batches,
         *,
         eval_batches_fn=None,
         writer=None,
         log_fn=print,
+    ) -> TrainState:
+        """Train until ``num_steps``. ``batches`` is either a plain batch
+        iterator or a ``DataSource`` — with a DataSource, the current
+        epoch is tracked and checkpointed so resume replays the data
+        order deterministically from the epoch boundary (reference-style
+        silent resume, SURVEY.md §6)."""
+        if hasattr(batches, "epoch") and hasattr(batches, "repeat"):
+            return self._fit_source(
+                batches, eval_batches_fn=eval_batches_fn, writer=writer,
+                log_fn=log_fn,
+            )
+        return self._fit_iter(
+            batches, None, eval_batches_fn=eval_batches_fn, writer=writer,
+            log_fn=log_fn,
+        )
+
+    def _fit_source(self, source, **kw) -> TrainState:
+        epoch = self.start_epoch
+        while int(self.state.step) < self.train_cfg.num_steps:
+            self._fit_iter(source.epoch(epoch), epoch, final_save=False, **kw)
+            epoch += 1
+        if self.ckpt is not None:
+            if self.ckpt.latest_step() != int(self.state.step):
+                self.ckpt.save(int(self.state.step), self.state, epoch=epoch,
+                               force=True)
+            self.ckpt.wait()
+        return self.state
+
+    def _fit_iter(
+        self,
+        batches: Iterator[Dict],
+        epoch: Optional[int],
+        *,
+        eval_batches_fn=None,
+        writer=None,
+        log_fn=print,
+        final_save: bool = True,
     ) -> TrainState:
         tc = self.train_cfg
         t0 = time.time()
@@ -169,10 +210,11 @@ class Trainer:
                 if writer is not None:
                     writer.write_scalars(step, {f"eval/{k}": v for k, v in ev.items()})
             if self.ckpt is not None:
-                self.ckpt.save(step, self.state)
-        if self.ckpt is not None:
+                self.ckpt.save(step, self.state, epoch=epoch or 0)
+        if final_save and self.ckpt is not None:
             if self.ckpt.latest_step() != int(self.state.step):
-                self.ckpt.save(int(self.state.step), self.state, force=True)
+                self.ckpt.save(int(self.state.step), self.state,
+                               epoch=epoch or 0, force=True)
             self.ckpt.wait()
         return self.state
 
