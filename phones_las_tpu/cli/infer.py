@@ -21,6 +21,8 @@ def main(argv=None):
     p.add_argument("--output", default=None, help="write hypotheses TSV here")
     p.add_argument("--mesh", action="store_true",
                    help="shard batches over all devices (offline DP inference)")
+    p.add_argument("--head", default="phone", choices=["phone", "grapheme"],
+                   help="which decoder head to decode (multitask models)")
     p.add_argument("--implementation", default="auto", choices=["auto", "xla", "pallas"])
     args = p.parse_args(argv)
 
@@ -62,8 +64,18 @@ def main(argv=None):
         params = shard_params(params, mesh)
 
     beam = args.beam_width or preset.beam_width
-    max_steps = preset.pipeline.max_target_len
     impl = trainer.implementation  # 'auto' resolved by the Trainer
+    if args.head == "grapheme":
+        assert model_cfg.grapheme_speller is not None, "model has no grapheme head"
+        assert gvocab is not None
+        speller_cfg, vocab = model_cfg.grapheme_speller, gvocab
+        get_speller = lambda p: p.grapheme_speller
+        max_steps = preset.pipeline.max_grapheme_len or preset.pipeline.max_target_len
+        fold = None  # phone folding does not apply to graphemes
+    else:
+        speller_cfg = model_cfg.speller
+        get_speller = lambda p: p.speller
+        max_steps = preset.pipeline.max_target_len
 
     @jax.jit
     def infer_fn(params, audio, lengths):
@@ -73,13 +85,13 @@ def main(argv=None):
             )
             if beam:
                 res = beam_decode(
-                    params.speller, model_cfg.speller, memory, enc_mask,
+                    get_speller(params), speller_cfg, memory, enc_mask,
                     max_steps, beam_width=beam,
                     length_penalty=args.length_penalty,
                 )
                 return res.tokens, res.lengths
             toks, lens, _ = greedy_decode(
-                params.speller, model_cfg.speller, memory, enc_mask, max_steps
+                get_speller(params), speller_cfg, memory, enc_mask, max_steps
             )
             return toks, lens
 
@@ -94,11 +106,16 @@ def main(argv=None):
 
     meta_path = os.path.join(data_dir, "meta.json")
     fold = None
-    if os.path.exists(meta_path):
+    if os.path.exists(meta_path) and args.head == "phone":
         meta = json.load(open(meta_path))
         if meta.get("corpus") == "timit":
             fold = timit_score_fold(vocab, meta.get("output_ipa", True))
 
+    ref_key, ref_len_key = (
+        ("grapheme_targets", "grapheme_lengths")
+        if args.head == "grapheme"
+        else ("targets", "target_lengths")
+    )
     out_f = open(args.output, "w") if args.output else None
     dist = tokens_total = 0
     n_utts = 0
@@ -107,7 +124,7 @@ def main(argv=None):
         toks, lens = infer_fn(params, db["audio"], db["audio_lengths"])
         toks, lens = np.asarray(toks), np.asarray(lens)
         d, t = edit_distance_stats(
-            toks, lens, batch["targets"], batch["target_lengths"] - 1,
+            toks, lens, batch[ref_key], batch[ref_len_key] - 1,
             num_real=batch["num_real"], fold=fold,
         )
         dist += d

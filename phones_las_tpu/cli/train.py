@@ -89,6 +89,7 @@ def main(argv=None):
         preset.model, preset.train, workdir=args.workdir,
         binf_codes=binf_codes, score_fold=fold,
         implementation=args.implementation,
+        default_decode_steps=preset.pipeline.max_target_len,
     )
     if args.init_checkpoint and int(trainer.state.step) == 0:
         from phones_las_tpu.train.checkpoint import load_params_for_warm_start

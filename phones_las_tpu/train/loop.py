@@ -51,7 +51,9 @@ class Trainer:
         binf_codes: Optional[np.ndarray] = None,
         score_fold: Optional[Dict[int, Optional[int]]] = None,
         implementation: str = "auto",
+        default_decode_steps: int = 100,
     ):
+        self.default_decode_steps = default_decode_steps
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.score_fold = score_fold
@@ -263,4 +265,4 @@ class Trainer:
         }
 
     def _default_cap(self) -> int:
-        return 100
+        return self.default_decode_steps
