@@ -118,31 +118,137 @@ class BucketBatcher:
                     yield self._emit(items, cfg.buckets[bi])
 
 
+def plan_batches(
+    sample_lengths: np.ndarray, order: np.ndarray, cfg: PipelineConfig
+) -> List:
+    """Greedy bucket assignment in data order → [(bucket_idx, indices)].
+    Mirrors BucketBatcher's semantics exactly (drop/truncate-too-long,
+    full batches in arrival order, optional partial flush)."""
+    pending: Dict[int, List[int]] = {i: [] for i in range(len(cfg.buckets))}
+    plans = []
+    for j in order:
+        bi = _bucket_for(int(sample_lengths[j]), cfg.buckets)
+        if bi is None:
+            if cfg.drop_too_long:
+                continue
+            bi = len(cfg.buckets) - 1
+        pending[bi].append(int(j))
+        if len(pending[bi]) == cfg.batch_size:
+            plans.append((bi, np.asarray(pending[bi])))
+            pending[bi] = []
+    if not cfg.drop_remainder:
+        for bi, items in pending.items():
+            if items:
+                plans.append((bi, np.asarray(items)))
+    return plans
+
+
 class DataSource:
-    """Epoch iterator over record files with shuffling and prefetch."""
+    """Epoch iterator over record files: shuffle → bucket plan → padded
+    batch fill (native C++ when available) → threaded prefetch."""
 
     def __init__(
         self,
         paths: Sequence[str],
         cfg: PipelineConfig,
+        use_native: str = "auto",  # 'auto' | 'never'
     ):
         self.readers = [RecordReader(p) for p in paths]
         self.cfg = cfg
-        self.batcher = BucketBatcher(cfg)
         self._index = [
             (ri, i) for ri, r in enumerate(self.readers) for i in range(len(r))
         ]
+        self.native = None
+        if use_native == "auto":
+            try:
+                from phones_las_tpu.data.native_records import NativeRecordReader
+
+                if NativeRecordReader.available():
+                    self.native = [NativeRecordReader(p) for p in paths]
+            except Exception:
+                self.native = None
+        lens = [r.lengths() for r in self.readers]
+        self._lengths = (
+            np.concatenate(lens, axis=0) if lens else np.zeros((0, 3), np.int64)
+        )
 
     def __len__(self) -> int:
         return len(self._index)
 
-    def _utterances(self, epoch: int) -> Iterator[Utterance]:
+    def _fill_batch(self, bucket_len: int, indices: np.ndarray) -> Dict:
+        cfg = self.cfg
+        b = cfg.batch_size
+        n = len(indices)
+        batch = {
+            "audio": np.zeros((b, bucket_len), np.int16),
+            "audio_lengths": np.zeros((b,), np.int32),
+            "targets": np.full((b, cfg.max_target_len), cfg.pad_id, np.int32),
+            "target_lengths": np.zeros((b,), np.int32),
+        }
+        if cfg.max_grapheme_len:
+            batch["grapheme_targets"] = np.full(
+                (b, cfg.max_grapheme_len), cfg.pad_id, np.int32
+            )
+            batch["grapheme_lengths"] = np.zeros((b,), np.int32)
+        utt_ids = []
+        row = 0
+        if self.native is not None:
+            # fill runs of same-reader rows in C++, preserving plan order
+            readers = np.asarray([self._index[j][0] for j in indices])
+            locals_ = np.asarray([self._index[j][1] for j in indices])
+            while row < n:
+                ri = int(readers[row])
+                end = row
+                while end < n and readers[end] == ri:
+                    end += 1
+                rows = slice(row, end)
+                self.native[ri].read_batch(
+                    locals_[rows],
+                    batch["audio"][rows], batch["audio_lengths"][rows],
+                    batch["targets"][rows], batch["target_lengths"][rows],
+                    cfg.eos_id, cfg.pad_id,
+                    graphemes=(
+                        batch["grapheme_targets"][rows]
+                        if cfg.max_grapheme_len else None
+                    ),
+                    grapheme_lengths=(
+                        batch["grapheme_lengths"][rows]
+                        if cfg.max_grapheme_len else None
+                    ),
+                )
+                utt_ids += [self.readers[ri].utt_id(int(i)) for i in locals_[rows]]
+                row = end
+        else:
+            for j in indices:
+                ri, i = self._index[j]
+                u = self.readers[ri][i]
+                s = min(u.num_samples, bucket_len)
+                batch["audio"][row, :s] = u.audio[:s]
+                batch["audio_lengths"][row] = s
+                t = u.targets[: cfg.max_target_len - 1]
+                batch["targets"][row, : len(t)] = t
+                batch["targets"][row, len(t)] = cfg.eos_id
+                batch["target_lengths"][row] = len(t) + 1
+                if cfg.max_grapheme_len:
+                    g = (
+                        u.grapheme_targets
+                        if u.grapheme_targets is not None
+                        else np.zeros(0, np.int32)
+                    )[: cfg.max_grapheme_len - 1]
+                    batch["grapheme_targets"][row, : len(g)] = g
+                    batch["grapheme_targets"][row, len(g)] = cfg.eos_id
+                    batch["grapheme_lengths"][row] = len(g) + 1
+                utt_ids.append(u.utt_id)
+                row += 1
+        batch["utt_ids"] = utt_ids + [""] * (b - n)
+        batch["num_real"] = n
+        return batch
+
+    def _plan(self, epoch: int) -> List:
         order = np.arange(len(self._index))
         if self.cfg.shuffle:
             np.random.RandomState(self.cfg.seed + epoch).shuffle(order)
-        for j in order:
-            ri, i = self._index[j]
-            yield self.readers[ri][i]
+        return plan_batches(self._lengths[:, 0], order, self.cfg)
 
     def epoch(self, epoch: int = 0, prefetch: int = 4) -> Iterator[Dict]:
         """One pass over the data as batches, prefetched on a thread."""
@@ -151,8 +257,8 @@ class DataSource:
 
         def producer():
             try:
-                for b in self.batcher.batches(self._utterances(epoch)):
-                    q.put(b)
+                for bi, idx in self._plan(epoch):
+                    q.put(self._fill_batch(self.cfg.buckets[bi], idx))
             finally:
                 q.put(stop)
 

@@ -148,6 +148,12 @@ class RecordReader:
         for i in range(len(self)):
             yield self[i]
 
+    def utt_id(self, i: int) -> str:
+        """Read only the id field of record ``i`` (no full parse)."""
+        pos = int(self._offsets[i]) + 4
+        (n,) = struct.unpack("<I", self._data[pos : pos + 4].tobytes())
+        return self._data[pos + 4 : pos + 4 + n].tobytes().decode()
+
     def lengths(self) -> np.ndarray:
         """Per-record (n_samples, n_targets, n_graphemes) without full
         parse — reads just the fixed-size prefixes. Used by the bucketing

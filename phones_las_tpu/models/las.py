@@ -210,6 +210,7 @@ def compute_loss(
     rng: Optional[jax.Array] = None,
     implementation: str = "xla",
     encoded: Optional[Tuple] = None,
+    sampling_probability: Optional[jnp.ndarray] = None,
 ):
     """Full forward + losses. Pass ``encoded=(memory, enc_lens, enc_mask)``
     to reuse an existing encoder pass (eval computes loss and decodes
@@ -241,6 +242,7 @@ def compute_loss(
     logits, attn_probs, binf_logits = teacher_forced_decode(
         params.speller, cfg.speller, dec_in, memory, enc_mask,
         sampling_rng=sampling_rng if train else None,
+        sampling_probability=sampling_probability,
     )
     phone_loss = masked_ce_loss(logits, targets, t_mask)
     aux = {
@@ -267,6 +269,7 @@ def compute_loss(
         g_logits, _, _ = teacher_forced_decode(
             params.grapheme_speller, cfg.grapheme_speller, g_in, memory, enc_mask,
             sampling_rng=g_sampling_rng if train else None,
+            sampling_probability=sampling_probability,
         )
         g_loss = masked_ce_loss(g_logits, g_targets, g_mask)
         aux["grapheme_loss"] = g_loss

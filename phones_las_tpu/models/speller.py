@@ -224,18 +224,26 @@ def teacher_forced_decode(
     enc_mask: jnp.ndarray,
     *,
     sampling_rng: Optional[jax.Array] = None,
+    sampling_probability: Optional[jnp.ndarray] = None,
 ):
     """Teacher-forced (optionally scheduled-sampling) pass.
 
     → (logits [B, S, V], attention probs [B, S, Tenc], binf logits or None).
     With ``cfg.sampling_probability > 0`` and a ``sampling_rng``, each
-    step's input token is, per batch element, the argmax-sampled token
-    from the previous step's logits with that probability (TF
+    step's input token is, per batch element, the sampled token from the
+    previous step's logits with that probability (TF
     ``ScheduledEmbeddingTrainingHelper`` semantics).
+    ``sampling_probability`` optionally overrides the config value with a
+    traced scalar (scheduled-sampling ramps).
     """
     b, s = decoder_inputs.shape
     keys = precompute_keys(params.attention, memory)
     carry0 = init_speller_carry(cfg, b, memory.shape[1], memory.dtype)
+    sp = (
+        sampling_probability
+        if sampling_probability is not None
+        else cfg.sampling_probability
+    )
     use_ss = cfg.sampling_probability > 0.0 and sampling_rng is not None
     use_rng = sampling_rng is not None
     monotonic = cfg.attention_type.endswith("_monotonic")
@@ -249,9 +257,9 @@ def teacher_forced_decode(
         if use_rng:
             rng_b, rng_c, rng_n = jax.random.split(rng, 3)
         if use_ss:
-            take_sample = jax.random.bernoulli(
-                rng_b, cfg.sampling_probability, (b,)
-            ) & (prev_sampled >= 0)
+            take_sample = jax.random.bernoulli(rng_b, sp, (b,)) & (
+                prev_sampled >= 0
+            )
             token = jnp.where(take_sample, jnp.maximum(prev_sampled, 0), token)
         emb = embed_tokens(params, cfg, token)
         carry, logits, extras = speller_step(

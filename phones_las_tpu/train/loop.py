@@ -84,12 +84,17 @@ class Trainer:
 
         def train_step(state: TrainState, batch: Dict):
             rng, step_rng = jax.random.split(state.rng)
+            sp = None
+            if train_cfg.sampling_ramp_steps > 0:
+                sp = cfg.speller.sampling_probability * jnp.minimum(
+                    1.0, state.step / train_cfg.sampling_ramp_steps
+                )
 
             def loss_fn(params):
                 with jax.default_matmul_precision(prec):
                     return compute_loss(
                         params, cfg, batch, train=True, rng=step_rng,
-                        implementation=impl,
+                        implementation=impl, sampling_probability=sp,
                     )
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -26,6 +26,9 @@ class TrainConfig:
     lr_decay_steps: int = 10000
     warmup_steps: int = 0
     clip_norm: float = 5.0
+    # scheduled sampling ramps linearly from 0 to the speller's
+    # sampling_probability over this many steps (0 → constant)
+    sampling_ramp_steps: int = 0
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
