@@ -456,6 +456,23 @@ def lstm_layer(
     xp_tm = jnp.transpose(xp, (1, 0, 2))
     mask_tm = jnp.transpose(length_mask(lengths, t, xp.dtype), (1, 0))
     if implementation == "pallas":
+        # large batches can't fit a >=8-step time chunk in VMEM; process
+        # independent batch slices sequentially (identical results).
+        max_b = 128
+        if b > max_b:
+            outs, hs, cs = [], [], []
+            for ofs in range(0, b, max_b):
+                o, (h_, c_) = pallas_recurrence(
+                    xp_tm[:, ofs : ofs + max_b],
+                    mask_tm[:, ofs : ofs + max_b],
+                    params.wh, reverse, forget_bias, _use_interpret(),
+                )
+                outs.append(o)
+                hs.append(h_)
+                cs.append(c_)
+            out_tm = jnp.concatenate(outs, axis=1)
+            state = (jnp.concatenate(hs, axis=0), jnp.concatenate(cs, axis=0))
+            return jnp.transpose(out_tm, (1, 0, 2)), state
         out_tm, state = pallas_recurrence(
             xp_tm, mask_tm, params.wh, reverse, forget_bias, _use_interpret()
         )
