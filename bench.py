@@ -46,6 +46,10 @@ def make_audio(b, seed=0):
 def bench_tpu(batch_size=64, iters=20):
     import jax
 
+    from phones_las_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from phones_las_tpu.decode import greedy_decode
     from phones_las_tpu.models.las import encode, init_las
     from __graft_entry__ import _flagship_cfg

@@ -31,6 +31,10 @@ def main(argv=None):
     import json
     import os
 
+    from phones_las_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import numpy as np
 

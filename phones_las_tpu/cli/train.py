@@ -39,6 +39,10 @@ def main(argv=None):
     import dataclasses
     import json
 
+    from phones_las_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from phones_las_tpu.cli.common import (
         apply_cmvn_to_params,
         resolve_preset,
