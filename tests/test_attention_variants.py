@@ -1,0 +1,41 @@
+"""All attention variants train (finite grads) and decode."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from phones_las_tpu.models import LASConfig, ListenerConfig, SpellerConfig
+from phones_las_tpu.models.las import compute_loss, encode, init_las
+from phones_las_tpu.decode import greedy_decode
+
+V = 9
+
+
+@pytest.mark.parametrize(
+    "variant", ["bahdanau", "bahdanau_norm", "luong", "luong_scaled"]
+)
+def test_variant_trains_and_decodes(variant):
+    cfg = LASConfig(
+        listener=ListenerConfig(input_dim=120, num_layers=2, units=8),
+        speller=SpellerConfig(
+            vocab_size=V, embedding_dim=6, num_layers=1, units=8,
+            memory_dim=16, attention_type=variant, attention_units=8,
+            attention_layer_size=8,
+        ),
+    )
+    params = init_las(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    batch = {
+        "audio": jnp.asarray(rs.randn(2, 1600) * 1000, jnp.float32),
+        "audio_lengths": jnp.asarray([1600, 1100]),
+        "targets": jnp.asarray(rs.randint(4, V, (2, 4)), jnp.int32),
+        "target_lengths": jnp.asarray([4, 3]),
+    }
+    loss, _ = compute_loss(params, cfg, batch)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: compute_loss(p, cfg, batch)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+    mem, _, mask = encode(params, cfg, batch["audio"], batch["audio_lengths"])
+    toks, lens, _ = greedy_decode(params.speller, cfg.speller, mem, mask, 5)
+    assert toks.shape == (2, 5)
