@@ -1,0 +1,132 @@
+"""High-level library API: load a trained run and transcribe audio.
+
+The reference exposes only CLIs; this adds the library-level entry a
+production user expects — point at a workdir, get phone/grapheme
+sequences for wav/flac/sphere files or raw PCM arrays.
+
+Example::
+
+    from phones_las_tpu.api import Transcriber
+
+    t = Transcriber("runs/timit")
+    print(t.transcribe_files(["sa1.wav"]))           # [['sil', 'ʃ', ...]]
+    print(t.transcribe(pcm_int16_array))             # single utterance
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+
+class Transcriber:
+    def __init__(
+        self,
+        workdir: str,
+        *,
+        beam_width: Optional[int] = None,
+        length_penalty: float = 0.0,
+        head: str = "phone",
+        implementation: str = "auto",
+    ):
+        import jax
+
+        from phones_las_tpu.cli.common import resolve_preset
+        from phones_las_tpu.train import Trainer
+        from phones_las_tpu.utils.jax_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        cfg_file = json.load(open(os.path.join(workdir, "config.json")))
+        preset, vocab, gvocab, _, binf_codes = resolve_preset(
+            cfg_file["preset"], cfg_file["data"]
+        )
+        trainer = Trainer(
+            preset.model, preset.train, workdir=workdir,
+            binf_codes=binf_codes, implementation=implementation,
+        )
+        assert int(trainer.state.step) > 0, f"no checkpoint in {workdir}"
+        self.params = trainer.state.params
+        self.model_cfg = preset.model
+        self.impl = trainer.implementation
+        self.beam = beam_width if beam_width is not None else preset.beam_width
+        self.length_penalty = length_penalty
+        if head == "grapheme":
+            assert preset.model.grapheme_speller is not None
+            self.speller_cfg = preset.model.grapheme_speller
+            self.vocab = gvocab
+            self._speller = lambda p: p.grapheme_speller
+            self.max_steps = (
+                preset.pipeline.max_grapheme_len or preset.pipeline.max_target_len
+            )
+        else:
+            self.speller_cfg = preset.model.speller
+            self.vocab = vocab
+            self._speller = lambda p: p.speller
+            self.max_steps = preset.pipeline.max_target_len
+        self._jit_cache: Dict[int, object] = {}
+        self._sample_rate = preset.model.frontend.sample_rate
+
+    def _infer_fn(self, pad_len: int):
+        if pad_len in self._jit_cache:
+            return self._jit_cache[pad_len]
+        import jax
+
+        from phones_las_tpu.decode import beam_decode, greedy_decode
+        from phones_las_tpu.models.las import encode
+
+        cfg, sp_cfg, beam = self.model_cfg, self.speller_cfg, self.beam
+        get_sp, max_steps, lp = self._speller, self.max_steps, self.length_penalty
+
+        @jax.jit
+        def fn(params, audio, lengths):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                memory, _, enc_mask = encode(
+                    params, cfg, audio, lengths, implementation=self.impl
+                )
+                if beam:
+                    res = beam_decode(
+                        get_sp(params), sp_cfg, memory, enc_mask, max_steps,
+                        beam_width=beam, length_penalty=lp,
+                    )
+                    return res.tokens, res.lengths
+                toks, lens, _ = greedy_decode(
+                    get_sp(params), sp_cfg, memory, enc_mask, max_steps
+                )
+                return toks, lens
+
+        self._jit_cache[pad_len] = fn
+        return fn
+
+    def transcribe_batch(
+        self, audio: Sequence[np.ndarray], *, pad_quantum: int = 32000
+    ) -> List[List[str]]:
+        """PCM int16/float arrays → token sequences (one per utterance)."""
+        b = len(audio)
+        lens = np.asarray([a.shape[0] for a in audio], np.int32)
+        pad = ((int(lens.max()) + pad_quantum - 1) // pad_quantum) * pad_quantum
+        batch = np.zeros((b, pad), np.float32)
+        for i, a in enumerate(audio):
+            batch[i, : len(a)] = a
+        fn = self._infer_fn(pad)
+        toks, out_lens = fn(self.params, batch, lens)
+        toks, out_lens = np.asarray(toks), np.asarray(out_lens)
+        return [
+            self.vocab.decode(toks[i][: out_lens[i]]) for i in range(b)
+        ]
+
+    def transcribe(self, audio: np.ndarray) -> List[str]:
+        return self.transcribe_batch([audio])[0]
+
+    def transcribe_files(self, paths: Sequence[str]) -> List[List[str]]:
+        from phones_las_tpu.data.audio_io import read_audio
+
+        clips = []
+        for p in paths:
+            pcm, rate = read_audio(p)
+            assert rate == self._sample_rate, f"{p}: rate {rate} != {self._sample_rate}"
+            clips.append(pcm)
+        return self.transcribe_batch(clips)

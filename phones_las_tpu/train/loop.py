@@ -233,6 +233,58 @@ class Trainer:
         *,
         writer=None,
         step: Optional[int] = None,
+        beam_width: int = 0,
+    ) -> Dict:
+        """Eval leg (reference EVAL mode, SURVEY.md §4.2): loss + greedy
+        (or beam when ``beam_width > 0``) decode + edit-distance PER +
+        alignment image."""
+        if beam_width:
+            return self._evaluate_beam(batches, max_steps, beam_width)
+        return self._evaluate_greedy(batches, max_steps, writer, step)
+
+    def _evaluate_beam(self, batches, max_steps, beam_width) -> Dict:
+        import functools
+
+        from phones_las_tpu.decode import beam_decode
+        from phones_las_tpu.models.las import encode as enc_fn
+
+        cfg, impl = self.model_cfg, self.implementation
+        steps_cap = max_steps or self._default_cap()
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def step_fn(params, batch, k):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                memory, _, enc_mask = enc_fn(
+                    params, cfg, batch["audio"], batch["audio_lengths"],
+                    implementation=impl,
+                )
+                res = beam_decode(
+                    params.speller, cfg.speller, memory, enc_mask,
+                    steps_cap, beam_width=k,
+                )
+                return res.tokens, res.lengths
+
+        dist = tokens = 0
+        for batch in batches:
+            toks, lens = step_fn(
+                self.state.params, device_batch(batch), beam_width
+            )
+            d, t = M.edit_distance_stats(
+                np.asarray(toks), np.asarray(lens),
+                np.asarray(batch["targets"]),
+                np.asarray(batch["target_lengths"]) - 1,
+                num_real=batch.get("num_real"), fold=self.score_fold,
+            )
+            dist += d
+            tokens += t
+        return {"per": M.per_from_stats(dist, tokens), "ref_tokens": tokens}
+
+    def _evaluate_greedy(
+        self,
+        batches: Iterator[Dict],
+        max_steps: Optional[int] = None,
+        writer=None,
+        step: Optional[int] = None,
     ) -> Dict:
         dist = tokens = 0
         losses = []
