@@ -193,8 +193,9 @@ def main():
     result = {
         "metric": "offline_inference_throughput",
         "value": round(tpu_rate, 2),
-        "unit": "utterances/sec/chip (10s utts, LibriSpeech-class char LAS; "
-        f"RTFx={rtf:.0f})",
+        "unit": "utterances/sec/chip (10s utts, LibriSpeech-class char LAS, "
+        f"RTFx={rtf:.0f}; production precision — fp32-parity mode reaches "
+        "~2465 utt/s, see docs/PERF.md)",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
     }
     print(json.dumps(result), flush=True)

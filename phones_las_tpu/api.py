@@ -15,10 +15,9 @@ Example::
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

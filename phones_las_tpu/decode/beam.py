@@ -15,7 +15,7 @@ final pick prefers finished beams when any exist.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ activations sigmoid/tanh; no peepholes, no projection.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
