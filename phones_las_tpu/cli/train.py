@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--init-checkpoint", default=None,
                    help="workdir of another run to warm-start params from")
     p.add_argument("--implementation", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--precision", default=None, choices=["highest", "high", "default"],
+                   help="model matmul precision override: 'highest' = reference "
+                        "fp32 parity (default), 'default' = bf16 production speed")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable the NaN sanitizer (jax_debug_nans)")
     p.add_argument("--profile-steps", type=int, default=0,
@@ -60,6 +63,11 @@ def main(argv=None):
     preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(
         args.preset, args.data, overrides
     )
+    if args.precision:
+        preset = dataclasses.replace(
+            preset,
+            model=dataclasses.replace(preset.model, matmul_precision=args.precision),
+        )
 
     os.makedirs(args.workdir, exist_ok=True)
     with open(os.path.join(args.workdir, "config.json"), "w") as f:

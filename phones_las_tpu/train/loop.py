@@ -190,11 +190,24 @@ class Trainer:
         tc = self.train_cfg
         t0 = time.time()
         window_loss, window_n = 0.0, 0
-        for batch in batches:
+
+        def with_lookahead(it):
+            # start the (async) host→device transfer of batch N+1 while
+            # step N executes, hiding H2D latency behind compute
+            prev = None
+            for b in it:
+                db = device_batch(b)
+                if prev is not None:
+                    yield prev
+                prev = (b, db)
+            if prev is not None:
+                yield prev
+
+        for batch, dbatch in with_lookahead(batches):
             step = int(self.state.step)
             if step >= tc.num_steps:
                 break
-            self.state, out = self._train_step(self.state, device_batch(batch))
+            self.state, out = self._train_step(self.state, dbatch)
             window_loss += float(out["loss"])
             window_n += 1
             step += 1
