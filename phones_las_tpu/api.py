@@ -69,16 +69,24 @@ class Transcriber:
         self._jit_cache: Dict[int, object] = {}
         self._sample_rate = preset.model.frontend.sample_rate
 
-    def _infer_fn(self, pad_len: int):
-        if pad_len in self._jit_cache:
-            return self._jit_cache[pad_len]
+    def _infer_fn(self, pad_len: int, batch: int):
+        key = (pad_len, batch <= 8)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
         import jax
 
         from phones_las_tpu.decode import beam_decode, greedy_decode
+        from phones_las_tpu.decode import pallas_greedy
         from phones_las_tpu.models.las import encode
 
         cfg, sp_cfg, beam = self.model_cfg, self.speller_cfg, self.beam
         get_sp, max_steps, lp = self._speller, self.max_steps, self.length_penalty
+        # fused VMEM-resident decoder wins only in its single-group
+        # low-latency niche (see decode/pallas_greedy.py)
+        use_fused = (
+            not beam and batch <= 8 and self.impl == "pallas"
+            and pallas_greedy.supports(sp_cfg)
+        )
 
         @jax.jit
         def fn(params, audio, lengths):
@@ -92,12 +100,16 @@ class Transcriber:
                         beam_width=beam, length_penalty=lp,
                     )
                     return res.tokens, res.lengths
+                if use_fused:
+                    return pallas_greedy.greedy_decode_fused(
+                        get_sp(params), sp_cfg, memory, enc_mask, max_steps
+                    )
                 toks, lens, _ = greedy_decode(
                     get_sp(params), sp_cfg, memory, enc_mask, max_steps
                 )
                 return toks, lens
 
-        self._jit_cache[pad_len] = fn
+        self._jit_cache[key] = fn
         return fn
 
     def transcribe_batch(
@@ -110,7 +122,7 @@ class Transcriber:
         batch = np.zeros((b, pad), np.float32)
         for i, a in enumerate(audio):
             batch[i, : len(a)] = a
-        fn = self._infer_fn(pad)
+        fn = self._infer_fn(pad, b)
         toks, out_lens = fn(self.params, batch, lens)
         toks, out_lens = np.asarray(toks), np.asarray(out_lens)
         return [

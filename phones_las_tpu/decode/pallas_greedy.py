@@ -1,19 +1,26 @@
 """Fully-fused Pallas greedy decoder.
 
 The scan-based greedy loop re-reads attention keys and encoder memory
-from HBM every step (~50 MB × steps for a 64×10 s batch — the decode is
-memory-bandwidth-bound). This kernel makes the whole decode loop
-VMEM-resident: grid = (B/8,) batch groups; each program holds its 8
-rows' keys [8, T, A] + memory [8, T, M] (~6 MB at T≈250 post-pyramid)
-plus all decoder weights (~3 MB) in VMEM and runs every decode step
-inside one ``fori_loop`` — zero HBM traffic per step. Embedding lookup
-is a one-hot matmul (V is small); an all-rows-finished predicate skips
-the remaining steps' compute entirely (real utterances finish long
+from HBM every step (~50 MB × steps for a 64×10 s batch — decode is
+memory-bandwidth-bound). This kernel keeps the decode loop VMEM-resident:
+grid = (B/8 batch groups, decode steps). The TPU grid is sequential, so
+per-group decoder state (token, finished, attention vector, LSTM h/c)
+persists in VMEM scratch across the step dimension, and the keys/memory/
+weight blocks keep the same block index across steps — Pallas fetches
+them once per group and they stay resident. Embedding lookup is a
+one-hot matmul (V is small); a finished-group predicate skips all step
+compute once every row has emitted <eos> (real utterances finish long
 before the static cap).
 
-Supported shape (falls back to the XLA scan otherwise — asserted by the
-caller): bahdanau attention, attention_layer present, binf_mode 'none'
-or 'head' (head ignored at decode), learned embeddings.
+Supported shape (callers fall back to the XLA scan otherwise):
+bahdanau attention, attention_layer present, learned embeddings.
+
+Measured niche (docs/PERF.md): batch groups run *sequentially* on the
+single TPU core, so at large batch the XLA scan decoder (which streams
+keys/memory from HBM for the whole batch each step) wins — 4.7 ms vs
+13.3 ms at B=64. At B≤8 (one group — low-latency single-stream serving)
+the fused kernel is the faster path (3.0 ms vs 3.1 ms and no per-step
+HLO overhead); ``Transcriber`` dispatches to it there.
 """
 
 from __future__ import annotations
@@ -42,19 +49,29 @@ def supports(cfg: SpellerConfig) -> bool:
     )
 
 
-def _kernel(cfg: SpellerConfig, max_steps: int, n_cells: int):
+def _kernel(cfg: SpellerConfig, n_cells: int):
     def kernel(
         keys_ref, mem_ref, mask_ref,  # [R,T,A], [R,T,M], [R,T]
         emb_ref, wq_ref, v_ref, attn_ref, outw_ref, outb_ref,  # weights
-        *cell_and_out_refs,
+        *rest,
     ):
-        cell_refs = cell_and_out_refs[: 3 * n_cells]  # (wx, wh, b) per cell
-        tokens_ref = cell_and_out_refs[3 * n_cells]
+        cell_refs = rest[: 3 * n_cells]  # (wx, wh, b) per cell
+        tok_out_ref = rest[3 * n_cells]  # [1, 1, R, 1] int32 this step
+        tok_scr, fin_scr, attn_scr = rest[3 * n_cells + 1 : 3 * n_cells + 4]
+        state_scr = rest[3 * n_cells + 4 :]  # h/c per cell [R, U]
 
+        s = pl.program_id(1)
         r = keys_ref.shape[0]
-        u = cfg.units
-        mask = mask_ref[...]  # [R, T]
-        neg = (1.0 - mask) * _NEG
+
+        @pl.when(s == 0)
+        def _():
+            tok_scr[...] = jnp.full_like(tok_scr, cfg.bos_id)
+            fin_scr[...] = jnp.zeros_like(fin_scr)
+            attn_scr[...] = jnp.zeros_like(attn_scr)
+            for st in state_scr:
+                st[...] = jnp.zeros_like(st)
+
+        tok_out_ref[0, 0, :, :] = jnp.full((r, 1), cfg.eos_id, jnp.int32)
 
         def dot(a, b):
             return jax.lax.dot_general(
@@ -62,70 +79,53 @@ def _kernel(cfg: SpellerConfig, max_steps: int, n_cells: int):
                 preferred_element_type=jnp.float32, precision=_HI,
             )
 
-        def step_math(token, attn_vec, states):
+        @pl.when(jnp.sum(fin_scr[...]) < r)
+        def _():
+            token = tok_scr[...]  # [R, 1] int32
             onehot = (
                 jax.lax.broadcasted_iota(jnp.int32, (r, cfg.vocab_size), 1)
-                == token[:, None]
+                == token
             ).astype(jnp.float32)
-            x = jnp.concatenate([dot(onehot, emb_ref[...]), attn_vec], axis=-1)
-            new_states = []
+            x = jnp.concatenate([dot(onehot, emb_ref[...]), attn_scr[...]], axis=-1)
+            cell_out = None
+            hs = []
             for l in range(n_cells):
                 wx, wh, b = (
                     cell_refs[3 * l], cell_refs[3 * l + 1], cell_refs[3 * l + 2]
                 )
-                h, c = states[2 * l], states[2 * l + 1]
+                h, c = state_scr[2 * l][...], state_scr[2 * l + 1][...]
                 gates = dot(x, wx[...]) + b[...][None, :] + dot(h, wh[...])
                 gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
                 c = jax.nn.sigmoid(gf + 1.0) * c + jax.nn.sigmoid(gi) * jnp.tanh(gg)
                 h = jax.nn.sigmoid(go) * jnp.tanh(c)
-                new_states += [h, c]
+                state_scr[2 * l][...] = h
+                state_scr[2 * l + 1][...] = c
                 x = h
             cell_out = x
             q = dot(cell_out, wq_ref[...])  # [R, A]
             act = jnp.tanh(keys_ref[...] + q[:, None, :])
-            scores = jnp.sum(act * v_ref[...][None, None, :], axis=-1) + neg
+            mask = mask_ref[...]
+            scores = (
+                jnp.sum(act * v_ref[...][None, None, :], axis=-1)
+                + (1.0 - mask) * _NEG
+            )
             smax = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - smax) * mask
             probs = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
             ctx = jnp.sum(probs[:, :, None] * mem_ref[...], axis=1)  # [R, M]
-            attn_vec = dot(jnp.concatenate([cell_out, ctx], axis=-1), attn_ref[...])
+            attn_vec = dot(
+                jnp.concatenate([cell_out, ctx], axis=-1), attn_ref[...]
+            )
+            attn_scr[...] = attn_vec
             logits = dot(attn_vec, outw_ref[...]) + outb_ref[...][None, :]
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return nxt, attn_vec, new_states
-
-        def body(t, carry):
-            token, finished, attn_vec, tokens, states = carry
-
-            def live(_):
-                nxt, new_attn, new_states = step_math(token, attn_vec, states)
-                nxt = jnp.where(finished, cfg.eos_id, nxt)
-                new_fin = finished | (nxt == cfg.eos_id)
-                return nxt, new_fin, new_attn, new_states
-
-            def done(_):
-                return (
-                    jnp.full_like(token, cfg.eos_id), finished, attn_vec, states
-                )
-
-            nxt, new_fin, new_attn, new_states = jax.lax.cond(
-                jnp.all(finished), done, live, None
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+            fin = fin_scr[...]
+            nxt = jnp.where(fin > 0, cfg.eos_id, nxt)
+            tok_scr[...] = nxt
+            fin_scr[...] = jnp.maximum(
+                fin, (nxt == cfg.eos_id).astype(jnp.float32)
             )
-            tokens = jax.lax.dynamic_update_slice(
-                tokens, nxt[:, None], (0, t)
-            )
-            return nxt, new_fin, new_attn, tokens, new_states
-
-        token0 = jnp.full((r,), cfg.bos_id, jnp.int32)
-        fin0 = jnp.zeros((r,), bool)
-        attn0 = jnp.zeros((r, cfg.attn_vec_dim), jnp.float32)
-        toks0 = jnp.full((r, max_steps), cfg.eos_id, jnp.int32)
-        states0 = []
-        for _ in range(n_cells):
-            states0 += [jnp.zeros((r, u), jnp.float32)] * 2
-        _, _, _, tokens, _ = jax.lax.fori_loop(
-            0, max_steps, body, (token0, fin0, attn0, toks0, states0)
-        )
-        tokens_ref[...] = tokens
+            tok_out_ref[0, 0, :, :] = nxt
 
     return kernel
 
@@ -164,33 +164,46 @@ def greedy_decode_fused(
     for cell in params.cells:
         weights += [cell.wx, cell.wh, cell.b]
 
-    grp3 = lambda g: (g, 0, 0)
-    grp2 = lambda g: (g, 0)
-    fix = lambda g: tuple(0 for _ in range(2))
+    grp3 = lambda g, s: (g, 0, 0)
+    grp2 = lambda g, s: (g, 0)
 
-    w_specs = []
-    for w in weights:
-        nd = w.ndim
-        w_specs.append(
-            pl.BlockSpec(w.shape, (lambda g, nd=nd: tuple(0 for _ in range(nd))),
-                         memory_space=pltpu.VMEM)
+    w_specs = [
+        pl.BlockSpec(
+            w.shape, (lambda g, s, nd=w.ndim: tuple(0 for _ in range(nd))),
+            memory_space=pltpu.VMEM,
         )
+        for w in weights
+    ]
 
-    tokens = pl.pallas_call(
-        _kernel(cfg, max_steps, n_cells),
-        grid=(n_groups,),
+    scratch = [
+        pltpu.VMEM((_ROWS, 1), jnp.int32),      # token
+        pltpu.VMEM((_ROWS, 1), jnp.float32),    # finished
+        pltpu.VMEM((_ROWS, cfg.attn_vec_dim), jnp.float32),  # attn vector
+    ]
+    for _ in range(2 * n_cells):
+        scratch.append(pltpu.VMEM((_ROWS, cfg.units), jnp.float32))
+
+    tokens4 = pl.pallas_call(
+        _kernel(cfg, n_cells),
+        grid=(n_groups, max_steps),
         in_specs=[
             pl.BlockSpec((_ROWS, t, a), grp3, memory_space=pltpu.VMEM),
             pl.BlockSpec((_ROWS, t, m), grp3, memory_space=pltpu.VMEM),
             pl.BlockSpec((_ROWS, t), grp2, memory_space=pltpu.VMEM),
         ] + w_specs,
         out_specs=pl.BlockSpec(
-            (_ROWS, max_steps), grp2, memory_space=pltpu.VMEM
+            (1, 1, _ROWS, 1), lambda g, s: (g, s, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b_pad, max_steps), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_groups, max_steps, _ROWS, 1), jnp.int32
+        ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(keys, memory, enc_mask, *weights)
 
-    tokens = tokens[:b]
+    tokens = (
+        tokens4[..., 0].transpose(0, 2, 1).reshape(b_pad, max_steps)[:b]
+    )
     lengths = jnp.sum(jnp.cumsum(tokens == cfg.eos_id, axis=1) == 0, axis=1)
     return tokens, lengths.astype(jnp.int32)
