@@ -112,11 +112,98 @@ _EN_RULES = [
     ("v", ("v",)), ("w", ("w",)), ("x", ("k", "s")), ("y", ("j",)), ("z", ("z",)),
 ]
 
+_FR_RULES = [
+    ("eau", ("o",)), ("eaux", ("o",)), ("au", ("o",)), ("aux", ("o",)),
+    ("oi", ("w", "a")), ("ou", ("u",)), ("eu", ("ø",)), ("œu", ("œ",)),
+    ("ai", ("ɛ",)), ("ei", ("ɛ",)), ("é", ("e",)), ("è", ("ɛ",)),
+    ("ê", ("ɛ",)), ("ë", ("ɛ",)), ("à", ("a",)), ("â", ("a",)),
+    ("î", ("i",)), ("ï", ("i",)), ("ô", ("o",)), ("û", ("y",)),
+    ("ù", ("y",)), ("ü", ("y",)), ("ç", ("s",)),
+    ("ch", ("ʃ",)), ("gn", ("ɲ",)), ("qu", ("k",)), ("ph", ("f",)),
+    ("on", ("ɔ̃",)), ("an", ("ɑ̃",)), ("en", ("ɑ̃",)), ("in", ("ɛ̃",)),
+    ("un", ("œ̃",)), ("ille", ("i", "j")),
+    ("j", ("ʒ",)), ("ge", ("ʒ", "ə")), ("gi", ("ʒ", "i")),
+    ("ce", ("s", "ə")), ("ci", ("s", "i")), ("h", ()),
+    ("a", ("a",)), ("e", ("ə",)), ("i", ("i",)), ("o", ("ɔ",)), ("u", ("y",)),
+    ("y", ("i",)), ("b", ("b",)), ("c", ("k",)), ("d", ("d",)), ("f", ("f",)),
+    ("g", ("ɡ",)), ("k", ("k",)), ("l", ("l",)), ("m", ("m",)), ("n", ("n",)),
+    ("p", ("p",)), ("q", ("k",)), ("r", ("ʁ",)), ("s", ("s",)), ("t", ("t",)),
+    ("v", ("v",)), ("w", ("w",)), ("x", ("k", "s")), ("z", ("z",)),
+]
+
+_PT_RULES = [
+    ("lh", ("ʎ",)), ("nh", ("ɲ",)), ("ch", ("ʃ",)), ("ss", ("s",)),
+    ("rr", ("ʁ",)), ("qu", ("k",)), ("gu", ("ɡ",)),
+    ("ão", ("ɐ̃", "w̃")), ("õe", ("õ", "j")), ("ã", ("ɐ̃",)), ("õ", ("õ",)),
+    ("á", ("a",)), ("à", ("a",)), ("â", ("ɐ",)), ("é", ("ɛ",)), ("ê", ("e",)),
+    ("í", ("i",)), ("ó", ("ɔ",)), ("ô", ("o",)), ("ú", ("u",)), ("ç", ("s",)),
+    ("ge", ("ʒ", "e")), ("gi", ("ʒ", "i")), ("ce", ("s", "e")), ("ci", ("s", "i")),
+    ("h", ()), ("j", ("ʒ",)), ("x", ("ʃ",)),
+    ("a", ("a",)), ("e", ("e",)), ("i", ("i",)), ("o", ("o",)), ("u", ("u",)),
+    ("b", ("b",)), ("c", ("k",)), ("d", ("d",)), ("f", ("f",)), ("g", ("ɡ",)),
+    ("k", ("k",)), ("l", ("l",)), ("m", ("m",)), ("n", ("n",)), ("p", ("p",)),
+    ("q", ("k",)), ("r", ("ɾ",)), ("s", ("s",)), ("t", ("t",)), ("v", ("v",)),
+    ("w", ("w",)), ("y", ("j",)), ("z", ("z",)),
+]
+
+_NL_RULES = [
+    ("sch", ("s", "x")), ("ch", ("x",)), ("ng", ("ŋ",)), ("nk", ("ŋ", "k")),
+    ("ij", ("ɛi",)), ("ei", ("ɛi",)), ("ui", ("œy",)), ("ou", ("ɑu",)),
+    ("au", ("ɑu",)), ("oe", ("u",)), ("eu", ("ø",)), ("ie", ("i",)),
+    ("aa", ("aː",)), ("ee", ("eː",)), ("oo", ("oː",)), ("uu", ("y",)),
+    ("a", ("ɑ",)), ("e", ("ɛ",)), ("i", ("ɪ",)), ("o", ("ɔ",)), ("u", ("ʏ",)),
+    ("b", ("b",)), ("c", ("k",)), ("d", ("d",)), ("f", ("f",)), ("g", ("ɣ",)),
+    ("h", ("h",)), ("j", ("j",)), ("k", ("k",)), ("l", ("l",)), ("m", ("m",)),
+    ("n", ("n",)), ("p", ("p",)), ("q", ("k",)), ("r", ("r",)), ("s", ("s",)),
+    ("t", ("t",)), ("v", ("v",)), ("w", ("ʋ",)), ("x", ("k", "s")),
+    ("y", ("j",)), ("z", ("z",)),
+]
+
+_PL_RULES = [
+    ("szcz", ("ʃ", "tʃ")), ("sz", ("ʃ",)), ("cz", ("tʃ",)), ("rz", ("ʒ",)),
+    ("dz", ("dz",)), ("dź", ("dʑ",)), ("dż", ("dʒ",)), ("ch", ("x",)),
+    ("ci", ("tɕ", "i")), ("si", ("ɕ", "i")), ("zi", ("ʑ", "i")),
+    ("ni", ("ɲ", "i")),
+    ("ą", ("ɔ̃",)), ("ę", ("ɛ̃",)), ("ó", ("u",)), ("ł", ("w",)),
+    ("ż", ("ʒ",)), ("ź", ("ʑ",)), ("ś", ("ɕ",)), ("ć", ("tɕ",)), ("ń", ("ɲ",)),
+    ("w", ("v",)), ("y", ("ɨ",)), ("j", ("j",)), ("h", ("x",)),
+    ("a", ("a",)), ("e", ("ɛ",)), ("i", ("i",)), ("o", ("ɔ",)), ("u", ("u",)),
+    ("b", ("b",)), ("c", ("ts",)), ("d", ("d",)), ("f", ("f",)), ("g", ("ɡ",)),
+    ("k", ("k",)), ("l", ("l",)), ("m", ("m",)), ("n", ("n",)), ("p", ("p",)),
+    ("r", ("r",)), ("s", ("s",)), ("t", ("t",)), ("z", ("z",)),
+]
+
+_TR_RULES = [
+    ("ç", ("tʃ",)), ("ş", ("ʃ",)), ("ğ", ()), ("ı", ("ɯ",)), ("ö", ("ø",)),
+    ("ü", ("y",)), ("c", ("dʒ",)), ("j", ("ʒ",)), ("y", ("j",)),
+    ("a", ("a",)), ("e", ("e",)), ("i", ("i",)), ("o", ("o",)), ("u", ("u",)),
+    ("b", ("b",)), ("d", ("d",)), ("f", ("f",)), ("g", ("ɡ",)), ("h", ("h",)),
+    ("k", ("k",)), ("l", ("l",)), ("m", ("m",)), ("n", ("n",)), ("p", ("p",)),
+    ("r", ("ɾ",)), ("s", ("s",)), ("t", ("t",)), ("v", ("v",)), ("z", ("z",)),
+]
+
+_RU_RULES = [
+    ("щ", ("ɕ",)), ("ш", ("ʂ",)), ("ж", ("ʐ",)), ("ч", ("tɕ",)),
+    ("ц", ("ts",)), ("х", ("x",)),
+    ("а", ("a",)), ("б", ("b",)), ("в", ("v",)), ("г", ("ɡ",)), ("д", ("d",)),
+    ("е", ("j", "e")), ("ё", ("j", "o")), ("з", ("z",)), ("и", ("i",)),
+    ("й", ("j",)), ("к", ("k",)), ("л", ("l",)), ("м", ("m",)), ("н", ("n",)),
+    ("о", ("o",)), ("п", ("p",)), ("р", ("r",)), ("с", ("s",)), ("т", ("t",)),
+    ("у", ("u",)), ("ф", ("f",)), ("ы", ("ɨ",)), ("э", ("ɛ",)),
+    ("ю", ("j", "u")), ("я", ("j", "a")), ("ь", ()), ("ъ", ()),
+]
+
 _LANG_RULES: Dict[str, list] = {
     "es": _ES_RULES,
     "it": _IT_RULES,
     "de": _DE_RULES,
     "en": _EN_RULES,
+    "fr": _FR_RULES,
+    "pt": _PT_RULES,
+    "nl": _NL_RULES,
+    "pl": _PL_RULES,
+    "tr": _TR_RULES,
+    "ru": _RU_RULES,
 }
 
 _PUNCT_RE = re.compile(r"[^\w\s']", re.UNICODE)

@@ -223,6 +223,21 @@ def phone_to_binf(phone: str) -> tuple:
     if phone in SILENCE_PHONES or phone in ("<pad>", "<sos>", "<eos>", "<unk>", "<space>"):
         return ("silence",)
 
+    result = _phone_to_binf_composed(phone)
+    if result != ("silence",):
+        return result
+    # retry with precomposed characters decomposed (e.g. õ → o + ̃);
+    # only as a fallback — NFD would wrongly split base IPA letters
+    # that happen to be precomposed (ç → c + cedilla).
+    import unicodedata
+
+    decomposed = unicodedata.normalize("NFD", phone)
+    if decomposed != phone:
+        return _phone_to_binf_composed(decomposed)
+    return result
+
+
+def _phone_to_binf_composed(phone: str) -> tuple:
     feats: set = set()
     # split off diacritics
     base = []
