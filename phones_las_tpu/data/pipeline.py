@@ -46,84 +46,56 @@ def _bucket_for(n: int, buckets: Sequence[int]) -> Optional[int]:
     return None
 
 
-class BucketBatcher:
-    """Groups utterances into per-bucket batches with static shapes.
+def _empty_batch(cfg: PipelineConfig, bucket_len: int) -> Dict:
+    b = cfg.batch_size
+    batch = {
+        "audio": np.zeros((b, bucket_len), np.int16),
+        "audio_lengths": np.zeros((b,), np.int32),
+        "targets": np.full((b, cfg.max_target_len), cfg.pad_id, np.int32),
+        "target_lengths": np.zeros((b,), np.int32),
+    }
+    if cfg.max_grapheme_len:
+        batch["grapheme_targets"] = np.full(
+            (b, cfg.max_grapheme_len), cfg.pad_id, np.int32
+        )
+        batch["grapheme_lengths"] = np.zeros((b,), np.int32)
+    return batch
 
-    Emits dicts: audio [B, S_b] int16, audio_lengths [B] int32,
-    targets [B, L] int32 (<eos>-terminated, <pad>-padded),
-    target_lengths [B], plus grapheme fields when configured, and
-    utt_ids (host-side list, not shipped to device).
-    """
 
-    def __init__(self, cfg: PipelineConfig):
-        self.cfg = cfg
-
-    def _emit(self, items: List[Utterance], bucket_len: int) -> Dict:
-        cfg = self.cfg
-        b = cfg.batch_size
-        n = len(items)
-        audio = np.zeros((b, bucket_len), np.int16)
-        audio_lengths = np.zeros((b,), np.int32)
-        targets = np.full((b, cfg.max_target_len), cfg.pad_id, np.int32)
-        target_lengths = np.zeros((b,), np.int32)
-        batch = {
-            "audio": audio,
-            "audio_lengths": audio_lengths,
-            "targets": targets,
-            "target_lengths": target_lengths,
-        }
+def _fill_rows(
+    cfg: PipelineConfig, batch: Dict, utts: List[Utterance], row0: int = 0
+) -> List[str]:
+    """Fill consecutive rows of a padded batch from Utterances (the
+    Python twin of the C++ ``plu_read_batch``)."""
+    bucket_len = batch["audio"].shape[1]
+    utt_ids = []
+    for i, u in enumerate(utts, start=row0):
+        s = min(u.num_samples, bucket_len)
+        batch["audio"][i, :s] = u.audio[:s]
+        batch["audio_lengths"][i] = s
+        t = u.targets[: cfg.max_target_len - 1]
+        batch["targets"][i, : len(t)] = t
+        batch["targets"][i, len(t)] = cfg.eos_id
+        batch["target_lengths"][i] = len(t) + 1
         if cfg.max_grapheme_len:
-            batch["grapheme_targets"] = np.full(
-                (b, cfg.max_grapheme_len), cfg.pad_id, np.int32
-            )
-            batch["grapheme_lengths"] = np.zeros((b,), np.int32)
-        utt_ids = []
-        for i, u in enumerate(items):
-            s = min(u.num_samples, bucket_len)
-            audio[i, :s] = u.audio[:s]
-            audio_lengths[i] = s
-            t = u.targets[: cfg.max_target_len - 1]
-            targets[i, : len(t)] = t
-            targets[i, len(t)] = cfg.eos_id
-            target_lengths[i] = len(t) + 1
-            if cfg.max_grapheme_len:
-                g = (u.grapheme_targets if u.grapheme_targets is not None else np.zeros(0, np.int32))
-                g = g[: cfg.max_grapheme_len - 1]
-                batch["grapheme_targets"][i, : len(g)] = g
-                batch["grapheme_targets"][i, len(g)] = cfg.eos_id
-                batch["grapheme_lengths"][i] = len(g) + 1
-            utt_ids.append(u.utt_id)
-        batch["utt_ids"] = utt_ids + [""] * (b - n)
-        batch["num_real"] = n
-        return batch
-
-    def batches(
-        self, utterances: Iterator[Utterance]
-    ) -> Iterator[Dict]:
-        cfg = self.cfg
-        pending: Dict[int, List[Utterance]] = {i: [] for i in range(len(cfg.buckets))}
-        for u in utterances:
-            bi = _bucket_for(u.num_samples, cfg.buckets)
-            if bi is None:
-                if cfg.drop_too_long:
-                    continue
-                bi = len(cfg.buckets) - 1
-            pending[bi].append(u)
-            if len(pending[bi]) == cfg.batch_size:
-                yield self._emit(pending[bi], cfg.buckets[bi])
-                pending[bi] = []
-        if not cfg.drop_remainder:
-            for bi, items in pending.items():
-                if items:
-                    yield self._emit(items, cfg.buckets[bi])
+            g = (
+                u.grapheme_targets
+                if u.grapheme_targets is not None
+                else np.zeros(0, np.int32)
+            )[: cfg.max_grapheme_len - 1]
+            batch["grapheme_targets"][i, : len(g)] = g
+            batch["grapheme_targets"][i, len(g)] = cfg.eos_id
+            batch["grapheme_lengths"][i] = len(g) + 1
+        utt_ids.append(u.utt_id)
+    return utt_ids
 
 
 def plan_batches(
     sample_lengths: np.ndarray, order: np.ndarray, cfg: PipelineConfig
 ) -> List:
-    """Greedy bucket assignment in data order → [(bucket_idx, indices)].
-    Mirrors BucketBatcher's semantics exactly (drop/truncate-too-long,
-    full batches in arrival order, optional partial flush)."""
+    """Greedy bucket assignment in data order → [(bucket_idx, indices)]:
+    drop/truncate-too-long, full batches emitted in arrival order,
+    optional partial-batch flush at the end of the epoch."""
     pending: Dict[int, List[int]] = {i: [] for i in range(len(cfg.buckets))}
     plans = []
     for j in order:
@@ -179,17 +151,7 @@ class DataSource:
         cfg = self.cfg
         b = cfg.batch_size
         n = len(indices)
-        batch = {
-            "audio": np.zeros((b, bucket_len), np.int16),
-            "audio_lengths": np.zeros((b,), np.int32),
-            "targets": np.full((b, cfg.max_target_len), cfg.pad_id, np.int32),
-            "target_lengths": np.zeros((b,), np.int32),
-        }
-        if cfg.max_grapheme_len:
-            batch["grapheme_targets"] = np.full(
-                (b, cfg.max_grapheme_len), cfg.pad_id, np.int32
-            )
-            batch["grapheme_lengths"] = np.zeros((b,), np.int32)
+        batch = _empty_batch(cfg, bucket_len)
         utt_ids = []
         row = 0
         if self.native is not None:
@@ -219,27 +181,8 @@ class DataSource:
                 utt_ids += [self.readers[ri].utt_id(int(i)) for i in locals_[rows]]
                 row = end
         else:
-            for j in indices:
-                ri, i = self._index[j]
-                u = self.readers[ri][i]
-                s = min(u.num_samples, bucket_len)
-                batch["audio"][row, :s] = u.audio[:s]
-                batch["audio_lengths"][row] = s
-                t = u.targets[: cfg.max_target_len - 1]
-                batch["targets"][row, : len(t)] = t
-                batch["targets"][row, len(t)] = cfg.eos_id
-                batch["target_lengths"][row] = len(t) + 1
-                if cfg.max_grapheme_len:
-                    g = (
-                        u.grapheme_targets
-                        if u.grapheme_targets is not None
-                        else np.zeros(0, np.int32)
-                    )[: cfg.max_grapheme_len - 1]
-                    batch["grapheme_targets"][row, : len(g)] = g
-                    batch["grapheme_targets"][row, len(g)] = cfg.eos_id
-                    batch["grapheme_lengths"][row] = len(g) + 1
-                utt_ids.append(u.utt_id)
-                row += 1
+            utts = [self.readers[ri][i] for ri, i in (self._index[j] for j in indices)]
+            utt_ids = _fill_rows(cfg, batch, utts)
         batch["utt_ids"] = utt_ids + [""] * (b - n)
         batch["num_real"] = n
         return batch

@@ -13,7 +13,7 @@ from phones_las_tpu.data import (
     fold_timit,
     phone_to_binf,
 )
-from phones_las_tpu.data.pipeline import BucketBatcher, PipelineConfig
+from phones_las_tpu.data.pipeline import DataSource, PipelineConfig
 
 
 def test_records_roundtrip(tmp_path):
@@ -46,20 +46,24 @@ def test_vocab(tmp_path):
     assert Vocab.load(p).tokens == v.tokens
 
 
-def test_bucket_batcher():
+def test_bucketed_batching(tmp_path):
     cfg = PipelineConfig(
-        batch_size=2, buckets=(100, 200), max_target_len=5, drop_remainder=False
+        batch_size=2, buckets=(100, 200), max_target_len=5,
+        drop_remainder=False, shuffle=False,
     )
-    utts = [
-        Utterance(f"u{i}", np.zeros(n, np.int16), np.asarray([4] * 2, np.int32))
-        for i, n in enumerate([50, 150, 90, 250, 160])
-    ]
-    batches = list(BucketBatcher(cfg).batches(iter(utts)))
-    # 250 dropped; bucket0: u0,u2 (full); bucket1: u1,u4 (full)
+    path = str(tmp_path / "b.plu")
+    with RecordWriter(path) as w:
+        for i, n in enumerate([50, 150, 90, 250, 160]):
+            w.write(
+                Utterance(f"u{i}", np.zeros(n, np.int16), np.asarray([4] * 2, np.int32))
+            )
+    batches = list(DataSource([path], cfg, use_native="never").epoch(0))
+    # 250 dropped (drop_too_long); bucket0: u0,u2 (full); bucket1: u1,u4 (full)
     assert len(batches) == 2
     shapes = sorted(b["audio"].shape for b in batches)
     assert shapes == [(2, 100), (2, 200)]
     b0 = [b for b in batches if b["audio"].shape[1] == 100][0]
+    assert b0["utt_ids"] == ["u0", "u2"]
     assert b0["target_lengths"].tolist() == [3, 3]  # 2 phones + eos
     assert b0["targets"][0].tolist() == [4, 4, cfg.eos_id, 0, 0]
 
