@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=None)
     p.add_argument("--init-checkpoint", default=None,
                    help="workdir of another run to warm-start params from")
+    p.add_argument("--init-scope", default="all", choices=["all", "encoder"],
+                   help="'encoder' restores only the listener + CMVN — the "
+                        "cross-language transfer recipe (phone sets differ)")
     p.add_argument("--implementation", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--precision", default=None, choices=["highest", "high", "default"],
                    help="model matmul precision override: 'highest' = reference "
@@ -106,9 +109,12 @@ def main(argv=None):
     if args.init_checkpoint and int(trainer.state.step) == 0:
         from phones_las_tpu.train.checkpoint import load_params_for_warm_start
 
-        params = load_params_for_warm_start(args.init_checkpoint, trainer.state)
+        params = load_params_for_warm_start(
+            args.init_checkpoint, trainer.state, scope=args.init_scope,
+            target_params=trainer.state.params,
+        )
         trainer.state = trainer.state._replace(params=params)
-        print(f"warm-started params from {args.init_checkpoint}")
+        print(f"warm-started [{args.init_scope}] from {args.init_checkpoint}")
     trainer.state = trainer.state._replace(
         params=apply_cmvn_to_params(trainer.state.params, cmvn)
     )

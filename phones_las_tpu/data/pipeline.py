@@ -37,6 +37,7 @@ class PipelineConfig:
     seed: int = 0
     drop_remainder: bool = True  # False → pad final partial batch with empty rows
     drop_too_long: bool = True  # False → truncate to the largest bucket
+    min_samples: int = 0  # length filter lower bound (reference input_fn)
 
 
 def _bucket_for(n: int, buckets: Sequence[int]) -> Optional[int]:
@@ -99,6 +100,8 @@ def plan_batches(
     pending: Dict[int, List[int]] = {i: [] for i in range(len(cfg.buckets))}
     plans = []
     for j in order:
+        if sample_lengths[j] < cfg.min_samples:
+            continue
         bi = _bucket_for(int(sample_lengths[j]), cfg.buckets)
         if bi is None:
             if cfg.drop_too_long:

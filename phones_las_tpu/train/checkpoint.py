@@ -61,10 +61,49 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def load_params_for_warm_start(workdir: str, abstract_state: Any, step: Optional[int] = None):
+def load_params_for_warm_start(
+    workdir: str,
+    abstract_state: Any,
+    step: Optional[int] = None,
+    scope: str = "all",  # 'all' | 'encoder'
+    target_params: Any = None,
+):
     """Warm-start: read another run's params (transfer learning across
-    languages — reference checkpoint-reuse idiom)."""
+    languages — reference checkpoint-reuse idiom).
+
+    ``scope='encoder'`` restores only the listener (+ CMVN stats) into
+    ``target_params`` — the cross-language recipe: phone sets (and so
+    decoder shapes) differ between languages, but the encoder transfers.
+    """
     mgr = CheckpointManager(workdir)
-    state, _ = mgr.restore(abstract_state, step)
+    if scope == "all":
+        state, _ = mgr.restore(abstract_state, step)
+        mgr.close()
+        return state.params
+    assert scope == "encoder" and target_params is not None
+    # raw (structure-free) read, so decoder shape differences between the
+    # source language's run and ours never collide; rebuild only the
+    # listener subtree (+ CMVN stats) against our NamedTuple structure.
+    step = step if step is not None else mgr.latest_step()
+    raw = mgr._mgr.restore(
+        step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+    )["state"]["params"]
     mgr.close()
-    return state.params
+
+    def rebuild(template, node):
+        if hasattr(template, "_fields"):  # NamedTuple ← dict by field name
+            return type(template)(
+                *[rebuild(getattr(template, f), node[f]) for f in template._fields]
+            )
+        if isinstance(template, tuple):  # tuple ← list
+            return tuple(rebuild(t, n) for t, n in zip(template, node))
+        assert template.shape == node.shape, (
+            f"encoder shape mismatch: {template.shape} vs {node.shape}"
+        )
+        return node
+
+    return target_params._replace(
+        listener=rebuild(target_params.listener, raw["listener"]),
+        cmvn_mean=raw["cmvn_mean"],
+        cmvn_std=raw["cmvn_std"],
+    )
