@@ -188,3 +188,23 @@ def test_binf_logits_mode_decodes():
     mem, mask = _memory()
     toks, lens, _ = greedy_decode(params, cfg, mem, mask, max_steps=5)
     assert toks.shape == (2, 5)
+
+
+def test_binf_embedding_mode_trains_and_decodes():
+    codes = np.random.RandomState(2).randint(0, 2, (V, 5)).astype(np.float32)
+    cfg, params = _tiny_speller(binf_mode="embedding", num_binf=5, codes=codes)
+    # embedding table is a projection of the static code matrix
+    assert params.embedding.shape == (5, cfg.embedding_dim)
+    mem, mask = _memory()
+    dec_in = jnp.asarray([[BOS, 3, 4], [BOS, 5, 6]], jnp.int32)
+    logits, _, _ = teacher_forced_decode(params, cfg, dec_in, mem, mask)
+    assert logits.shape == (2, 3, V)
+
+    def loss(p):
+        lg, _, _ = teacher_forced_decode(p, cfg, dec_in, mem, mask)
+        return jnp.sum(lg**2)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(np.asarray(g.embedding)).all()
+    toks, lens, _ = greedy_decode(params, cfg, mem, mask, max_steps=5)
+    assert toks.shape == (2, 5)
