@@ -52,6 +52,10 @@ class SpellerConfig:
     # sigmoid noise for *_monotonic attention during training (TF
     # sigmoid_noise; 1.0 encourages discrete attend/skip decisions)
     monotonic_noise: float = 1.0
+    # decode-time monotonic mode: 'parallel' (soft recursion, TF default)
+    # or 'hard' (deterministic attend-first decisions; training always
+    # uses 'parallel')
+    monotonic_mode: str = "parallel"
     attention_layer_size: int = 256  # 0 → raw [cell_out; context] as attn vector
     sampling_probability: float = 0.0
     bos_id: int = 1
@@ -176,6 +180,7 @@ def speller_step(
     forget_bias: float = 1.0,
     noise_rng: Optional[jax.Array] = None,
     sigmoid_noise: float = 0.0,
+    monotonic_mode: Optional[str] = None,  # None → cfg.monotonic_mode
 ):
     """One decode step → (carry', logits [B, V], extras dict).
 
@@ -197,6 +202,7 @@ def speller_step(
         params.attention, cfg.attention_type, cell_out, keys, enc_mask,
         prev_align=carry.alignment, sigmoid_noise=sigmoid_noise,
         noise_rng=noise_rng,
+        monotonic_mode=monotonic_mode or cfg.monotonic_mode,
     )
     ctx = attention_context(probs, memory)
     combined = jnp.concatenate([cell_out, ctx], axis=-1)
@@ -266,6 +272,7 @@ def teacher_forced_decode(
             params, cfg, carry, emb, keys, memory, enc_mask,
             noise_rng=rng_n if (monotonic and use_rng) else None,
             sigmoid_noise=cfg.monotonic_noise if monotonic else 0.0,
+            monotonic_mode="parallel",  # training/teacher forcing
         )
         if use_ss:
             sampled = jax.random.categorical(rng_c, logits, axis=-1)

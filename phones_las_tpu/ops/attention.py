@@ -89,6 +89,19 @@ def _raw_scores(params, base_variant, query, keys):
     return scores
 
 
+def hard_monotonic_attention(
+    choose: jnp.ndarray,  # [B, T] hard 0/1 selection decisions
+    prev_align: jnp.ndarray,  # [B, T] one-hot previous position (or zeros)
+) -> jnp.ndarray:
+    """Test-time 'hard' monotonic attention (TF ``mode='hard'``): attend
+    the first position j ≥ previous position with choose[j] = 1; all-zero
+    attention if the head never chooses (matches TF semantics — the
+    context vector is then zero and the head has 'run off the end')."""
+    allowed = jnp.cumsum(prev_align, axis=-1)  # 1 at and after prev pos
+    candidates = choose * jnp.minimum(allowed, 1.0)
+    return candidates * (jnp.cumsum(candidates, axis=-1) == 1.0)
+
+
 def monotonic_attention(
     p_choose: jnp.ndarray,  # [B, T] selection probabilities
     prev_align: jnp.ndarray,  # [B, T] previous attention distribution
@@ -119,9 +132,11 @@ def attention_scores(
     prev_align: Optional[jnp.ndarray] = None,  # monotonic variants only
     sigmoid_noise: float = 0.0,
     noise_rng: Optional[jax.Array] = None,
+    monotonic_mode: str = "parallel",  # 'parallel' | 'hard'
 ) -> jnp.ndarray:
     """Attention probabilities [B, T]: masked softmax for the standard
-    variants, the parallel monotonic recursion for ``*_monotonic``."""
+    variants; for ``*_monotonic``, the parallel recursion (training/eval
+    default) or hard decisions (``monotonic_mode='hard'``, test time)."""
     monotonic = variant.endswith("_monotonic")
     base = variant[: -len("_monotonic")] if monotonic else variant
     scores = _raw_scores(params, base, query, keys)
@@ -130,6 +145,9 @@ def attention_scores(
         return jax.nn.softmax(scores, axis=-1)
     assert prev_align is not None, "monotonic attention needs prev_align"
     scores = scores + params.score_bias
+    if monotonic_mode == "hard":
+        choose = (scores > 0).astype(scores.dtype) * mask
+        return hard_monotonic_attention(choose, prev_align)
     if sigmoid_noise > 0.0 and noise_rng is not None:
         scores = scores + sigmoid_noise * jax.random.normal(
             noise_rng, scores.shape, scores.dtype

@@ -49,6 +49,47 @@ def test_attention_mass_moves_monotonically():
         last_pos = pos
 
 
+def test_hard_monotonic_attention():
+    from phones_las_tpu.ops.attention import hard_monotonic_attention
+
+    choose = jnp.asarray([[0, 1, 0, 1, 1], [0, 0, 0, 0, 0], [1, 1, 0, 0, 1]],
+                         jnp.float32)
+    prev = jnp.asarray([[0, 1, 0, 0, 0], [1, 0, 0, 0, 0], [0, 0, 1, 0, 0]],
+                       jnp.float32)
+    got = np.asarray(hard_monotonic_attention(choose, prev))
+    # row 0: prev at 1, first choose at j>=1 is 1
+    np.testing.assert_array_equal(got[0], [0, 1, 0, 0, 0])
+    # row 1: never chooses → all-zero attention
+    np.testing.assert_array_equal(got[1], [0, 0, 0, 0, 0])
+    # row 2: prev at 2, first choose at j>=2 is 4
+    np.testing.assert_array_equal(got[2], [0, 0, 0, 0, 1])
+
+
+def test_hard_mode_decodes():
+    cfg = _cfg("bahdanau_monotonic")
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        speller=dataclasses.replace(cfg.speller, monotonic_mode="hard"),
+    )
+    params = init_las(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    audio = jnp.asarray(rs.randn(2, 1600) * 1000, jnp.float32)
+    lens = jnp.asarray([1600, 1200])
+    from phones_las_tpu.models.las import encode
+
+    memory, _, mask = encode(params, cfg, audio, lens)
+    toks, dlens, aligns = greedy_decode(
+        params.speller, cfg.speller, memory, mask, 5, return_alignments=True
+    )
+    assert toks.shape == (2, 5)
+    a = np.asarray(aligns)
+    # hard attention: each step's alignment is one-hot or all-zero
+    sums = a.sum(-1)
+    assert np.all((np.abs(sums - 1) < 1e-6) | (sums < 1e-6))
+
+
 def _cfg(attention_type):
     return LASConfig(
         listener=ListenerConfig(input_dim=120, num_layers=2, units=8),
