@@ -62,6 +62,10 @@ def init_attention_params(
         return AttentionParams(wq, wk, v, b, score_bias)
     if base in ("luong", "luong_scaled"):
         # Luong "general": score = q · (W_k m); query_dim must equal attn_units.
+        assert query_dim == attn_units, (
+            f"luong attention requires attention_units == decoder units "
+            f"({attn_units} != {query_dim})"
+        )
         wk = glorot(k2, (memory_dim, attn_units))
         v = jnp.ones((), dtype) if base == "luong_scaled" else None
         return AttentionParams(None, wk, v, None, score_bias)
