@@ -46,6 +46,29 @@ def test_pallas_vjp_matches_xla():
             )
 
 
+def test_bidir_pallas_matches_xla_with_grads():
+    from phones_las_tpu.ops import bilstm_layer, init_lstm_params
+
+    pf = init_lstm_params(jax.random.PRNGKey(0), 12, 16)
+    pb = init_lstm_params(jax.random.PRNGKey(1), 12, 16)
+    x = jnp.asarray(np.random.RandomState(2).randn(4, 29, 12), jnp.float32)
+    lens = jnp.asarray([29, 17, 8, 1])
+
+    def loss(params, impl):
+        out, ((hf, cf), (hb, cb)) = bilstm_layer(
+            params[0], params[1], x, lens, implementation=impl
+        )
+        return jnp.sum(out**2) + jnp.sum(hf * cb) + jnp.sum(hb * cf)
+
+    ref = float(loss((pf, pb), "xla"))
+    got = float(loss((pf, pb), "pallas"))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    g_ref = jax.grad(lambda p: loss(p, "xla"))((pf, pb))
+    g_got = jax.grad(lambda p: loss(p, "pallas"))((pf, pb))
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4, atol=3e-4)
+
+
 def test_pallas_vjp_long_sequence_multiblock():
     """Sequence longer than one time-chunk exercises cross-block state
     and dWh accumulation."""
