@@ -658,13 +658,15 @@ def bilstm_layer(
         return jnp.concatenate([out_f, out_b], axis=-1), (st_f, st_b)
 
     b, t, _ = x.shape
-    wx = jnp.concatenate([fwd.wx, bwd.wx], axis=1)  # [D, 8U]
-    bias = jnp.concatenate([fwd.b, bwd.b], axis=0)
-    xp = jnp.einsum("btd,dh->bth", x, wx) + bias
-    xp_tm = jnp.transpose(xp, (1, 0, 2))
-    four_u = fwd.wh.shape[1]
-    xpf_tm, xpb_tm = xp_tm[..., :four_u], xp_tm[..., four_u:]
-    mask_tm = jnp.transpose(length_mask(lengths, t, xp.dtype), (1, 0))
+    # separate projections: a fused [D, 8U] matmul + lane split costs two
+    # full-tensor HBM copies that outweigh the single-matmul win
+    xpf_tm = jnp.transpose(
+        jnp.einsum("btd,dh->bth", x, fwd.wx) + fwd.b, (1, 0, 2)
+    )
+    xpb_tm = jnp.transpose(
+        jnp.einsum("btd,dh->bth", x, bwd.wx) + bwd.b, (1, 0, 2)
+    )
+    mask_tm = jnp.transpose(length_mask(lengths, t, x.dtype), (1, 0))
 
     interp = _use_interpret()
     max_b = 64  # bidir streams double per-row VMEM; halve the chunk bound
