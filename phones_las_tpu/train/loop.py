@@ -189,6 +189,7 @@ class Trainer:
     ) -> TrainState:
         tc = self.train_cfg
         t0 = time.time()
+        last_ckpt_time = time.time()
         window_loss, window_n = 0.0, 0
 
         def with_lookahead(it):
@@ -230,7 +231,13 @@ class Trainer:
                 if writer is not None:
                     writer.write_scalars(step, {f"eval/{k}": v for k, v in ev.items()})
             if self.ckpt is not None:
-                self.ckpt.save(step, self.state, epoch=epoch or 0)
+                force = (
+                    tc.checkpoint_every_secs > 0
+                    and time.time() - last_ckpt_time >= tc.checkpoint_every_secs
+                    and self.ckpt.latest_step() != step
+                )
+                if self.ckpt.save(step, self.state, epoch=epoch or 0, force=force):
+                    last_ckpt_time = time.time()
         if final_save and self.ckpt is not None:
             if self.ckpt.latest_step() != int(self.state.step):
                 self.ckpt.save(int(self.state.step), self.state,

@@ -35,6 +35,9 @@ class TrainConfig:
     num_steps: int = 10000
     eval_every: int = 1000
     checkpoint_every: int = 1000
+    # also checkpoint when this many seconds elapse since the last save
+    # (Estimator save_checkpoints_secs parity; 0 → step-based only)
+    checkpoint_every_secs: float = 0.0
     keep_checkpoints: int = 5
     log_every: int = 100
     seed: int = 0
