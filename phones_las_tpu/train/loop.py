@@ -190,7 +190,7 @@ class Trainer:
         tc = self.train_cfg
         t0 = time.time()
         last_ckpt_time = time.time()
-        window_loss, window_n = 0.0, 0
+        window_n = 0
 
         def with_lookahead(it):
             # start the (async) host→device transfer of batch N+1 while
@@ -204,19 +204,23 @@ class Trainer:
             if prev is not None:
                 yield prev
 
+        step = int(self.state.step)
+        window = []
         for batch, dbatch in with_lookahead(batches):
-            step = int(self.state.step)
             if step >= tc.num_steps:
                 break
             self.state, out = self._train_step(self.state, dbatch)
-            window_loss += float(out["loss"])
+            # keep losses as device arrays — a float() here would force a
+            # device sync every step and serialize dispatch
+            window.append(out["loss"])
             window_n += 1
             step += 1
             if step % tc.log_every == 0 or step == tc.num_steps:
+                window_loss = float(jnp.mean(jnp.stack(window)))
                 rate = window_n * batch["audio"].shape[0] / (time.time() - t0)
                 msg = {
                     "step": step,
-                    "loss": window_loss / max(window_n, 1),
+                    "loss": window_loss,
                     "utt_per_sec": round(rate, 2),
                     "lr": float(out["lr"]),
                     "grad_norm": float(out["grad_norm"]),
@@ -224,7 +228,7 @@ class Trainer:
                 log_fn(f"train: {msg}")
                 if writer is not None:
                     writer.write_scalars(step, {k: v for k, v in msg.items() if k != "step"})
-                t0, window_loss, window_n = time.time(), 0.0, 0
+                t0, window, window_n = time.time(), [], 0
             if eval_batches_fn is not None and step % tc.eval_every == 0:
                 ev = self.evaluate(eval_batches_fn(), writer=writer, step=step)
                 log_fn(f"eval @ {step}: {ev}")
