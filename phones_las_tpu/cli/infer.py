@@ -23,6 +23,10 @@ def main(argv=None):
                    help="shard batches over all devices (offline DP inference)")
     p.add_argument("--head", default="phone", choices=["phone", "grapheme"],
                    help="which decoder head to decode (multitask models)")
+    p.add_argument("--dump-alignments", default=None, metavar="DIR",
+                   help="save attention-alignment heatmap PNGs for the first "
+                        "batch (greedy only; the reference's TensorBoard "
+                        "alignment images, for offline inspection)")
     p.add_argument("--implementation", default="auto", choices=["auto", "xla", "pallas"])
     args = p.parse_args(argv)
 
@@ -81,10 +85,12 @@ def main(argv=None):
         get_speller = lambda p: p.speller
         max_steps = preset.pipeline.max_target_len
 
+    want_aligns = bool(args.dump_alignments) and not beam
+
     @jax.jit
     def infer_fn(params, audio, lengths):
         with jax.default_matmul_precision(model_cfg.matmul_precision):
-            memory, _, enc_mask = encode(
+            memory, enc_lens, enc_mask = encode(
                 params, model_cfg, audio, lengths, implementation=impl,
             )
             if beam:
@@ -93,11 +99,12 @@ def main(argv=None):
                     max_steps, beam_width=beam,
                     length_penalty=args.length_penalty,
                 )
-                return res.tokens, res.lengths
-            toks, lens, _ = greedy_decode(
-                get_speller(params), speller_cfg, memory, enc_mask, max_steps
+                return res.tokens, res.lengths, None, enc_lens
+            toks, lens, aligns = greedy_decode(
+                get_speller(params), speller_cfg, memory, enc_mask, max_steps,
+                return_alignments=want_aligns,
             )
-            return toks, lens
+            return toks, lens, aligns, enc_lens
 
     if os.path.isdir(args.data):
         paths = sorted(glob.glob(os.path.join(args.data, "*.plu")))
@@ -123,10 +130,38 @@ def main(argv=None):
     out_f = open(args.output, "w") if args.output else None
     dist = tokens_total = 0
     n_utts = 0
+    dumped_aligns = False
     for batch in source.epoch(0):
         db = shard_batch(batch, mesh) if mesh else device_batch(batch)
-        toks, lens = infer_fn(params, db["audio"], db["audio_lengths"])
+        toks, lens, aligns, enc_lens = infer_fn(
+            params, db["audio"], db["audio_lengths"]
+        )
         toks, lens = np.asarray(toks), np.asarray(lens)
+        if want_aligns and not dumped_aligns:
+            from phones_las_tpu.train.metrics import attention_image
+
+            os.makedirs(args.dump_alignments, exist_ok=True)
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            a, el = np.asarray(aligns), np.asarray(enc_lens)
+            for i in range(min(batch["num_real"], 8)):
+                img = attention_image(a[i], max(int(lens[i]), 1), int(el[i]))
+                fig, ax = plt.subplots(figsize=(6, 3))
+                ax.imshow(img[..., 0], aspect="auto", origin="lower",
+                          interpolation="nearest")
+                ax.set_xlabel("encoder frames")
+                ax.set_ylabel("decode steps")
+                ax.set_title(batch["utt_ids"][i])
+                fig.savefig(
+                    os.path.join(args.dump_alignments,
+                                 f"{batch['utt_ids'][i]}.png"),
+                    dpi=100, bbox_inches="tight",
+                )
+                plt.close(fig)
+            dumped_aligns = True
         d, t = edit_distance_stats(
             toks, lens, batch[ref_key], batch[ref_len_key] - 1,
             num_real=batch["num_real"], fold=fold,

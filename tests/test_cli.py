@@ -19,8 +19,12 @@ def test_cli_roundtrip(tmp_path, capsys):
     ])
     assert os.path.exists(os.path.join(wd, "config.json"))
 
+    aligns_dir = os.path.join(wd, "aligns")
     infer_cli.main(["--workdir", wd, "--data", os.path.join(data, "test.plu"),
-                    "--batch-size", "4"])
+                    "--batch-size", "4", "--dump-alignments", aligns_dir])
     out = capsys.readouterr().out
     assert "PER=" in out
     assert "synth-" in out
+    import glob
+
+    assert glob.glob(os.path.join(aligns_dir, "*.png"))
