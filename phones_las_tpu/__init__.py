@@ -20,3 +20,20 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (keep bare import light / jax-free)
+    if name == "Transcriber":
+        from phones_las_tpu.api import Transcriber
+
+        return Transcriber
+    if name == "Trainer":
+        from phones_las_tpu.train import Trainer
+
+        return Trainer
+    if name == "PRESETS":
+        from phones_las_tpu.utils.config import PRESETS
+
+        return PRESETS
+    raise AttributeError(name)
