@@ -36,7 +36,13 @@ def greedy_decode(
     return_alignments: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """→ (tokens [B, max_steps] (<eos>-padded), lengths [B] excluding
-    <eos>, alignments [B, max_steps, Tenc] or None)."""
+    <eos>, alignments [B, max_steps, Tenc] or None).
+
+    Deliberately a fixed-trip ``scan``: an early-exit ``while_loop`` was
+    measured token-identical but no faster (per-iteration condition
+    overhead cancels the skipped steps; docs/PERF.md), so the simpler
+    constant-shape loop stays.
+    """
     b = memory.shape[0]
     keys = precompute_keys(params.attention, memory)
     carry0 = init_speller_carry(cfg, b, memory.shape[1], memory.dtype)
@@ -46,7 +52,9 @@ def greedy_decode(
     def step(loop_carry, _):
         carry, token, finished = loop_carry
         emb = embed_tokens(params, cfg, token)
-        carry, logits, extras = speller_step(params, cfg, carry, emb, keys, memory, enc_mask)
+        carry, logits, extras = speller_step(
+            params, cfg, carry, emb, keys, memory, enc_mask
+        )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, cfg.eos_id, nxt)
         new_finished = finished | (nxt == cfg.eos_id)
