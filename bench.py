@@ -189,7 +189,9 @@ def bench_cpu_baseline(batch_size=8):
 
 def main():
     tpu_rate, rtf = bench_tpu()
-    cpu_rate = bench_cpu_baseline()
+    # single-core CPU timing is noisy; take the faster of two runs so the
+    # reported ratio is the conservative one
+    cpu_rate = max(bench_cpu_baseline(), bench_cpu_baseline())
     result = {
         "metric": "offline_inference_throughput",
         "value": round(tpu_rate, 2),
