@@ -61,15 +61,53 @@ def resolve_preset(
         max_grapheme_len=preset.pipeline.max_grapheme_len if g_speller else 0,
     )
     train = preset.train
+    # reference flag semantics (SURVEY §6 config row): encoder_/decoder_-
+    # prefixed keys route into the listener/speller sub-configs
+    _listener_keys = {"encoder_layers": "num_layers", "encoder_units": "units",
+                      "dropout": "dropout"}
+    _speller_keys = {"decoder_layers": "num_layers", "decoder_units": "units",
+                     "embedding_dim": "embedding_dim",
+                     "attention_type": "attention_type",
+                     "attention_units": "attention_units",
+                     "attention_layer_size": "attention_layer_size",
+                     "sampling_probability": "sampling_probability",
+                     "monotonic_mode": "monotonic_mode"}
     for k, v in (overrides or {}).items():
         if v is None:
             continue
-        if hasattr(train, k):
+        if k in _listener_keys:
+            model = dataclasses.replace(
+                model,
+                listener=dataclasses.replace(
+                    model.listener, **{_listener_keys[k]: v}
+                ),
+            )
+        elif k in _speller_keys:
+            model = dataclasses.replace(
+                model,
+                speller=dataclasses.replace(model.speller, **{_speller_keys[k]: v}),
+            )
+        elif hasattr(train, k):
             train = dataclasses.replace(train, **{k: v})
         elif hasattr(pipeline, k):
             pipeline = dataclasses.replace(pipeline, **{k: v})
         elif hasattr(model, k):
             model = dataclasses.replace(model, **{k: v})
+        else:
+            raise ValueError(f"unknown config override {k!r}")
+    if any(k in _listener_keys or k == "encoder_units" for k in (overrides or {})):
+        # keep dependent dims consistent when the encoder width changes
+        model = dataclasses.replace(
+            model,
+            speller=dataclasses.replace(
+                model.speller, memory_dim=2 * model.listener.units
+            ),
+            grapheme_speller=(
+                None if model.grapheme_speller is None else dataclasses.replace(
+                    model.grapheme_speller, memory_dim=2 * model.listener.units
+                )
+            ),
+        )
     preset = dataclasses.replace(
         preset, model=model, pipeline=pipeline, train=train
     )

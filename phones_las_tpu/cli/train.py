@@ -26,6 +26,20 @@ def main(argv=None):
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--eval-every", type=int, default=None)
+    # model hyperparameters (reference flag semantics, SURVEY §6)
+    p.add_argument("--encoder-layers", type=int, default=None)
+    p.add_argument("--encoder-units", type=int, default=None)
+    p.add_argument("--decoder-layers", type=int, default=None)
+    p.add_argument("--decoder-units", type=int, default=None)
+    p.add_argument("--embedding-dim", type=int, default=None)
+    p.add_argument("--attention-type", default=None,
+                   choices=["bahdanau", "bahdanau_norm", "luong", "luong_scaled",
+                            "bahdanau_monotonic", "luong_monotonic"])
+    p.add_argument("--attention-units", type=int, default=None)
+    p.add_argument("--dropout", type=float, default=None)
+    p.add_argument("--sampling-probability", type=float, default=None)
+    p.add_argument("--multitask-weight", type=float, default=None)
+    p.add_argument("--clip-norm", type=float, default=None)
     p.add_argument("--init-checkpoint", default=None,
                    help="workdir of another run to warm-start params from")
     p.add_argument("--init-scope", default="all", choices=["all", "encoder"],
@@ -62,6 +76,17 @@ def main(argv=None):
         "learning_rate": args.learning_rate,
         "batch_size": args.batch_size,
         "eval_every": args.eval_every,
+        "encoder_layers": args.encoder_layers,
+        "encoder_units": args.encoder_units,
+        "decoder_layers": args.decoder_layers,
+        "decoder_units": args.decoder_units,
+        "embedding_dim": args.embedding_dim,
+        "attention_type": args.attention_type,
+        "attention_units": args.attention_units,
+        "dropout": args.dropout,
+        "sampling_probability": args.sampling_probability,
+        "multitask_weight": args.multitask_weight,
+        "clip_norm": args.clip_norm,
     }
     preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(
         args.preset, args.data, overrides

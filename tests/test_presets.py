@@ -45,6 +45,32 @@ def test_resolve_all_presets(name, data_dir):
         assert preset.pipeline.max_grapheme_len > 0
 
 
+def test_model_hyperparameter_overrides(data_dir):
+    preset, *_ = resolve_preset(
+        "timit_multitask", data_dir,
+        {
+            "encoder_layers": 4, "encoder_units": 128, "decoder_units": 96,
+            "attention_type": "luong", "attention_units": 96,
+            "dropout": 0.3, "sampling_probability": 0.25,
+            "multitask_weight": 0.7, "clip_norm": 1.0,
+        },
+    )
+    m = preset.model
+    assert m.listener.num_layers == 4 and m.listener.units == 128
+    assert m.listener.dropout == 0.3
+    assert m.speller.units == 96 and m.speller.attention_type == "luong"
+    assert m.speller.attention_units == 96
+    assert m.speller.sampling_probability == 0.25
+    # encoder width change propagates to both heads' memory dims
+    assert m.speller.memory_dim == 256
+    assert m.grapheme_speller.memory_dim == 256
+    assert m.multitask_weight == 0.7
+    assert preset.train.clip_norm == 1.0
+
+    with pytest.raises(ValueError, match="unknown config override"):
+        resolve_preset("timit_phone_las", data_dir, {"bogus_key": 1})
+
+
 def test_timit_fold_ids(data_dir):
     vocab = Vocab(["a", "ʃ", "i", "sil"])
     fold = timit_score_fold(vocab, output_ipa=True)
