@@ -124,6 +124,10 @@ bool decode_wav(const std::vector<uint8_t>& buf, std::vector<int16_t>* out,
     r.pos += len + (len & 1);
   }
   if (!data_ptr || !channels) { *err = "wav: missing fmt/data chunk"; return false; }
+  if (bits != 8 && bits != 16 && bits != 24 && bits != 32) {
+    *err = "wav: unsupported bit depth " + std::to_string(bits);
+    return false;
+  }
   *rate = (int)sample_rate;
   size_t bytes_per = bits / 8;
   size_t n_frames = data_len / (bytes_per * channels);
@@ -143,11 +147,8 @@ bool decode_wav(const std::vector<uint8_t>& buf, std::vector<int16_t>* out,
         s = ((int32_t)p[0] - 128) << 8;
       } else if (bits == 24) {
         s = ((int32_t)((uint32_t)p[0] << 8 | (uint32_t)p[1] << 16 | (uint32_t)p[2] << 24)) >> 16;
-      } else if (bits == 32) {
+      } else {  // bits == 32 int (depths validated above)
         int32_t v; memcpy(&v, p, 4); s = v >> 16;
-      } else {
-        *err = "wav: unsupported bit depth " + std::to_string(bits);
-        return false;
       }
       acc += s;
     }
@@ -288,6 +289,7 @@ bool flac_subframe(BitReader* br, int blocksize, int bps,
     for (int i = 0; i < blocksize; i++) (*out)[i] = br->sbits(bps);
   } else if ((type & 0x38) == 0x08 && (type & 7) <= 4) {  // fixed
     int order = type & 7;
+    if (order > blocksize) { *err = "flac: predictor order exceeds blocksize"; return false; }
     for (int i = 0; i < order; i++) (*out)[i] = br->sbits(bps);
     std::vector<int64_t> resid;
     if (!flac_residual(br, blocksize, order, &resid, err)) return false;
@@ -304,6 +306,7 @@ bool flac_subframe(BitReader* br, int blocksize, int bps,
     }
   } else if (type & 0x20) {  // LPC
     int order = (type & 0x1F) + 1;
+    if (order > blocksize) { *err = "flac: predictor order exceeds blocksize"; return false; }
     for (int i = 0; i < order; i++) (*out)[i] = br->sbits(bps);
     int precision = (int)br->bits(4) + 1;
     if (precision == 16) { *err = "flac: bad lpc precision"; return false; }
@@ -371,11 +374,12 @@ bool decode_flac(const std::vector<uint8_t>& buf, std::vector<int16_t>* out,
     flac_utf8(&br);
     int blocksize;
     switch (bs_code) {
+      case 0: *err = "flac: reserved blocksize code"; return false;
       case 1: blocksize = 192; break;
       case 2: case 3: case 4: case 5: blocksize = 576 << (bs_code - 2); break;
       case 6: blocksize = (int)br.bits(8) + 1; break;
       case 7: blocksize = (int)br.bits(16) + 1; break;
-      default: blocksize = 256 << (bs_code - 8); break;
+      default: blocksize = 256 << (bs_code - 8); break;  // codes 8..15
     }
     if (sr_code == 12) br.bits(8);
     else if (sr_code == 13 || sr_code == 14) br.bits(16);
@@ -392,7 +396,9 @@ bool decode_flac(const std::vector<uint8_t>& buf, std::vector<int16_t>* out,
     br.bits(8);  // header crc8 (not verified)
     if (!br.ok) { *err = "flac: truncated frame header"; return false; }
 
+    if (ch_asgn > 10) { *err = "flac: reserved channel assignment"; return false; }
     int nch = ch_asgn < 8 ? ch_asgn + 1 : 2;
+    if (nch > channels) { *err = "flac: frame channels exceed STREAMINFO"; return false; }
     for (int c = 0; c < nch; c++) {
       int sub_bps = frame_bps;
       if ((ch_asgn == 8 && c == 1) || (ch_asgn == 9 && c == 0) ||

@@ -51,20 +51,33 @@ struct RecordView {
 
 bool parse_record(const Reader* r, long long idx, RecordView* out) {
   if (idx < 0 || (size_t)idx >= r->offsets.size()) return false;
-  const uint8_t* p = r->data + r->offsets[idx];
+  uint64_t off = r->offsets[idx];
+  if (off > r->size || r->size - off < 4) return false;
+  const uint8_t* p = r->data + off;
   uint32_t rec_len = rd32(p);
+  if (rec_len > r->size - off - 4) return false;
   const uint8_t* end = p + 4 + rec_len;
-  if (end > r->data + r->size) return false;
   p += 4;
+  // Every length field is untrusted: bounds-check against the record end
+  // BEFORE advancing, so a corrupt field can never walk p past the mmap.
+  auto remain = [&](uint64_t n) { return (uint64_t)(end - p) >= n; };
+  if (!remain(4)) return false;
   out->id_len = rd32(p); p += 4;
+  if (!remain(out->id_len)) return false;
   out->utt_id = (const char*)p; p += out->id_len;
+  if (!remain(4)) return false;
   out->n_samples = rd32(p); p += 4;
+  if (!remain(2ull * out->n_samples)) return false;
   out->audio = (const int16_t*)p; p += 2ull * out->n_samples;
+  if (!remain(4)) return false;
   out->n_targets = rd32(p); p += 4;
+  if (!remain(4ull * out->n_targets)) return false;
   out->targets = (const int32_t*)p; p += 4ull * out->n_targets;
+  if (!remain(4)) return false;
   out->n_graphemes = rd32(p); p += 4;
-  out->graphemes = (const int32_t*)p; p += 4ull * out->n_graphemes;
-  return p <= end;
+  if (!remain(4ull * out->n_graphemes)) return false;
+  out->graphemes = (const int32_t*)p;
+  return true;
 }
 
 }  // namespace
@@ -91,12 +104,14 @@ void* plu_open(const char* path, char* err, int errlen) {
     if (fread(r->offsets.data(), 8, n, f) != (size_t)n) r->offsets.clear();
     fclose(f);
   }
-  if (r->offsets.empty()) {  // scan
-    uint32_t hdr = rd32(r->data);
-    size_t pos = 4 + hdr;
+  if (r->offsets.empty() && r->size >= 4) {  // scan (index-less file)
+    uint64_t hdr = rd32(r->data);
+    uint64_t pos = 4 + hdr;
     while (pos + 4 <= r->size) {
+      uint32_t rec_len = rd32(r->data + pos);
+      if (rec_len > r->size - pos - 4) break;  // corrupt/truncated trailer
       r->offsets.push_back(pos);
-      pos += 4 + rd32(r->data + pos);
+      pos += 4 + (uint64_t)rec_len;
     }
   }
   return r;
@@ -131,6 +146,10 @@ int plu_read_batch(void* h, const long long* indices, int count,
                    int32_t* graphemes, long long grapheme_stride, int* grapheme_lengths,
                    char* err, int errlen) {
   Reader* r = (Reader*)h;
+  if (audio_stride < 1 || target_stride < 2 || (graphemes && grapheme_stride < 2)) {
+    set_err(err, errlen, "bad stride");
+    return 1;
+  }
   RecordView v;
   for (int i = 0; i < count; i++) {
     if (!parse_record(r, indices[i], &v)) {

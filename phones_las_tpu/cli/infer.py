@@ -53,11 +53,18 @@ def main(argv=None):
 
     cfg_file = json.load(open(os.path.join(args.workdir, "config.json")))
     preset_name, data_dir = cfg_file["preset"], cfg_file["data"]
-    preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(preset_name, data_dir)
-    overrides = {"batch_size": args.batch_size} if args.batch_size else None
-    if overrides:
-        preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(
-            preset_name, data_dir, overrides
+    # replay the hparam overrides the run was trained with (shapes must
+    # match the checkpoint), then apply infer-time ones on top
+    overrides = dict(cfg_file.get("overrides") or {})
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(
+        preset_name, data_dir, overrides or None
+    )
+    if cfg_file.get("precision"):
+        preset = dataclasses.replace(
+            preset, model=dataclasses.replace(
+                preset.model, matmul_precision=cfg_file["precision"]),
         )
 
     trainer = Trainer(preset.model, preset.train, workdir=args.workdir,

@@ -30,27 +30,34 @@ def main(argv=None):
     c.add_argument("--tsv", default="validated.tsv")
     c.add_argument("--max-per-lang", type=int, default=None)
 
+    for sp in (t, l, c):
+        sp.add_argument("--cmvn-utts", type=int, default=500,
+                        help="utterances for global CMVN stats; 0 = whole "
+                             "corpus (exact Σx/Σx², reference semantics)")
+
     s = sub.add_parser("synthetic")
     s.add_argument("--out", required=True)
     s.add_argument("--n-utts", type=int, default=128)
     s.add_argument("--n-phones", type=int, default=10)
 
     args = p.parse_args(argv)
+    cmvn_utts = getattr(args, "cmvn_utts", 500) or None  # 0 → None → all
     if args.corpus == "timit":
         from phones_las_tpu.data.timit import prepare_timit
 
         prepare_timit(args.root, args.out, output_ipa=not args.arpabet,
-                      include_sa=args.include_sa)
+                      include_sa=args.include_sa, cmvn_max_utts=cmvn_utts)
     elif args.corpus == "librispeech":
         from phones_las_tpu.data.librispeech import prepare_librispeech
 
         prepare_librispeech(args.root, args.out, splits=tuple(args.splits),
-                            targets=args.targets)
+                            targets=args.targets, cmvn_max_utts=cmvn_utts)
     elif args.corpus == "common_voice":
         from phones_las_tpu.data.common_voice import prepare_common_voice
 
         prepare_common_voice(args.root, args.out, args.langs, tsv=args.tsv,
-                             max_per_lang=args.max_per_lang)
+                             max_per_lang=args.max_per_lang,
+                             cmvn_max_utts=cmvn_utts)
     else:
         import os
 

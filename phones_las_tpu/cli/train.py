@@ -101,6 +101,10 @@ def main(argv=None):
     with open(os.path.join(args.workdir, "config.json"), "w") as f:
         json.dump(
             {"preset": args.preset, "data": args.data,
+             # non-None CLI overrides, replayed by infer so a run trained
+             # with hparam flags restores with the right shapes
+             "overrides": {k: v for k, v in overrides.items() if v is not None},
+             "precision": args.precision,
              "resolved": dataclasses.asdict(preset)},
             f, indent=2, default=str,
         )
@@ -130,6 +134,7 @@ def main(argv=None):
         binf_codes=binf_codes, score_fold=fold,
         implementation=args.implementation,
         default_decode_steps=preset.pipeline.max_target_len,
+        eval_beam_width=preset.beam_width,  # periodic eval honors the preset
     )
     if args.init_checkpoint and int(trainer.state.step) == 0:
         from phones_las_tpu.train.checkpoint import load_params_for_warm_start
@@ -174,7 +179,7 @@ def main(argv=None):
     )
     if eval_source:
         print("final eval:", trainer.evaluate(
-            eval_source.epoch(0), max_steps=preset.pipeline.max_target_len))
+            eval_source.epoch(0), beam_width=preset.beam_width))
 
 
 if __name__ == "__main__":

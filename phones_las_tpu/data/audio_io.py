@@ -12,6 +12,7 @@ clear error on .mp3 (reference used external decoders there too).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import struct
 import subprocess
@@ -29,20 +30,42 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_failed = False
 
 
-def _build_native() -> Optional[str]:
-    src = os.path.join(_CSRC, "plu_audio.cc")
+def ensure_built(src_name: str, so_name: str) -> Optional[str]:
+    """Compile csrc/<src_name> → csrc/build/<so_name> if needed.
+
+    A .sha256 stamp of (source, binary) gates reuse: a .so whose stamp is
+    missing, whose source has changed, or whose binary bytes do not match
+    the stamp is rebuilt from source — a stale, foreign, or tampered
+    binary is never loaded as-is.
+    """
+    src = os.path.join(_CSRC, src_name)
     if not os.path.exists(src):
         return None
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    so = os.path.join(_BUILD_DIR, "plu_audio.so")
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
-        return so
+    so = os.path.join(_BUILD_DIR, so_name)
+    stamp = so + ".sha256"
+
+    def sha(path):
+        with open(path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+
+    src_digest = sha(src)
+    if os.path.exists(so) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == f"{src_digest} {sha(so)}":
+                return so
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", so, src]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:
         return None
+    with open(stamp, "w") as f:
+        f.write(f"{src_digest} {sha(so)}")
     return so
+
+
+def _build_native() -> Optional[str]:
+    return ensure_built("plu_audio.cc", "plu_audio.so")
 
 
 def _native() -> Optional[ctypes.CDLL]:

@@ -64,6 +64,7 @@ def prepare_common_voice(
     *,
     tsv: str = "validated.tsv",
     frontend_cfg: Optional[FrontendConfig] = None,
+    cmvn_max_utts: Optional[int] = 500,
     max_per_lang: Optional[int] = None,
     log=print,
 ) -> dict:
@@ -117,6 +118,7 @@ def prepare_common_voice(
         out_dir, vocab, grapheme_vocab=grapheme_vocab,
         cmvn_from=first_path,
         frontend_cfg=frontend_cfg,
+        cmvn_max_utts=cmvn_max_utts,
         meta={"corpus": "common_voice", "langs": list(langs), "counts": counts},
     )
     return counts

@@ -69,6 +69,7 @@ def prepare_librispeech(
     splits: Tuple[str, ...] = ("train-clean-100", "dev-clean", "test-clean"),
     targets: str = "char",  # 'char' | 'phone'
     frontend_cfg: Optional[FrontendConfig] = None,
+    cmvn_max_utts: Optional[int] = 500,
     log=print,
 ) -> dict:
     os.makedirs(out_dir, exist_ok=True)
@@ -104,6 +105,7 @@ def prepare_librispeech(
         out_dir, vocab, grapheme_vocab=grapheme_vocab,
         cmvn_from=train_split,
         frontend_cfg=frontend_cfg,
+        cmvn_max_utts=cmvn_max_utts,
         meta={"corpus": "librispeech", "counts": counts, "targets": targets},
     )
     return counts

@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from phones_las_tpu.data.audio_io import _BUILD_DIR, _CSRC
+from phones_las_tpu.data.audio_io import ensure_built
 
 _lock = threading.Lock()
 _lib = None
@@ -28,15 +28,11 @@ def _load():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        src = os.path.join(_CSRC, "plu_records.cc")
-        so = os.path.join(_BUILD_DIR, "plu_records.so")
         try:
-            os.makedirs(_BUILD_DIR, exist_ok=True)
-            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-                subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", so, src],
-                    check=True, capture_output=True, timeout=120,
-                )
+            so = ensure_built("plu_records.cc", "plu_records.so")
+            if so is None:
+                _failed = True
+                return None
             lib = ctypes.CDLL(so)
         except Exception:
             _failed = True

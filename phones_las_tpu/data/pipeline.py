@@ -15,6 +15,7 @@ decoder input shifting happens inside the model.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional, Sequence
@@ -92,15 +93,36 @@ def _fill_rows(
 
 
 def plan_batches(
-    sample_lengths: np.ndarray, order: np.ndarray, cfg: PipelineConfig
+    sample_lengths: np.ndarray,
+    order: np.ndarray,
+    cfg: PipelineConfig,
+    target_lengths: Optional[np.ndarray] = None,
+    grapheme_lengths: Optional[np.ndarray] = None,
 ) -> List:
     """Greedy bucket assignment in data order → [(bucket_idx, indices)]:
     drop/truncate-too-long, full batches emitted in arrival order,
-    optional partial-batch flush at the end of the epoch."""
+    optional partial-batch flush at the end of the epoch.
+
+    Utterances whose target (or grapheme) sequence cannot fit the static
+    row (len > max_*_len - 1, the <eos> slot) are dropped and counted —
+    training on silently clipped labels is worse than skipping them
+    (mirrors the reference input_fn's length filter, SURVEY.md §4.4).
+    """
     pending: Dict[int, List[int]] = {i: [] for i in range(len(cfg.buckets))}
     plans = []
+    dropped_long_target = 0
     for j in order:
         if sample_lengths[j] < cfg.min_samples:
+            continue
+        if target_lengths is not None and target_lengths[j] > cfg.max_target_len - 1:
+            dropped_long_target += 1
+            continue
+        if (
+            cfg.max_grapheme_len
+            and grapheme_lengths is not None
+            and grapheme_lengths[j] > cfg.max_grapheme_len - 1
+        ):
+            dropped_long_target += 1
             continue
         bi = _bucket_for(int(sample_lengths[j]), cfg.buckets)
         if bi is None:
@@ -115,6 +137,12 @@ def plan_batches(
         for bi, items in pending.items():
             if items:
                 plans.append((bi, np.asarray(items)))
+    if dropped_long_target:
+        logging.getLogger(__name__).warning(
+            "dropped %d utterance(s) with targets longer than the static "
+            "row (max_target_len=%d, max_grapheme_len=%d)",
+            dropped_long_target, cfg.max_target_len, cfg.max_grapheme_len,
+        )
     return plans
 
 
@@ -194,7 +222,11 @@ class DataSource:
         order = np.arange(len(self._index))
         if self.cfg.shuffle:
             np.random.RandomState(self.cfg.seed + epoch).shuffle(order)
-        return plan_batches(self._lengths[:, 0], order, self.cfg)
+        return plan_batches(
+            self._lengths[:, 0], order, self.cfg,
+            target_lengths=self._lengths[:, 1],
+            grapheme_lengths=self._lengths[:, 2],
+        )
 
     def epoch(self, epoch: int = 0, prefetch: int = 4) -> Iterator[Dict]:
         """One pass over the data as batches, prefetched on a thread."""

@@ -70,12 +70,17 @@ def compute_cmvn(
     record_path: str,
     frontend_cfg: FrontendConfig,
     *,
-    max_utts: int = 500,
+    max_utts: Optional[int] = 500,
     pad_quantum: int = 32000,
 ) -> CmvnStats:
     """Global per-dim feature stats via the on-device front-end. Sample
     lengths are padded to multiples of ``pad_quantum`` so jit compiles a
-    bounded number of shapes."""
+    bounded number of shapes.
+
+    ``max_utts=None`` streams the *entire* corpus (exact Σx/Σx² global
+    CMVN, the reference's semantics — SURVEY.md §4.5); the default caps
+    the pass at 500 utterances, a close approximation for corpora at
+    TIMIT scale and a documented one above it."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -90,7 +95,7 @@ def compute_cmvn(
     reader = RecordReader(record_path)
     dim = frontend_cfg.base_dim * (3 if frontend_cfg.add_deltas else 1)
     stats = CmvnStats.zeros(dim)
-    take = min(len(reader), max_utts)
+    take = len(reader) if max_utts is None else min(len(reader), max_utts)
     for i in range(take):
         u = reader[i]
         s = u.num_samples
@@ -111,6 +116,7 @@ def finalize_split_dir(
     cmvn_from: Optional[str] = None,
     frontend_cfg: Optional[FrontendConfig] = None,
     meta: Optional[dict] = None,
+    cmvn_max_utts: Optional[int] = 500,
 ) -> None:
     """Write vocab/grapheme_vocab/cmvn/meta files next to the records."""
     vocab.save(os.path.join(out_dir, "vocab.txt"))
@@ -118,7 +124,7 @@ def finalize_split_dir(
         grapheme_vocab.save(os.path.join(out_dir, "grapheme_vocab.txt"))
     if cmvn_from is not None:
         cfg = frontend_cfg or FrontendConfig()
-        stats = compute_cmvn(cmvn_from, cfg)
+        stats = compute_cmvn(cmvn_from, cfg, max_utts=cmvn_max_utts)
         stats.save(os.path.join(out_dir, "cmvn.json"))
     if meta is not None:
         with open(os.path.join(out_dir, "meta.json"), "w") as f:

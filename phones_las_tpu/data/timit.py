@@ -98,6 +98,7 @@ def prepare_timit(
     output_ipa: bool = True,
     include_sa: bool = False,
     frontend_cfg: Optional[FrontendConfig] = None,
+    cmvn_max_utts: Optional[int] = 500,
     log=print,
 ) -> dict:
     """TIMIT → {train,test}.plu + vocab + grapheme vocab + CMVN stats."""
@@ -132,6 +133,7 @@ def prepare_timit(
         out_dir, vocab, grapheme_vocab=grapheme_vocab,
         cmvn_from=os.path.join(out_dir, "train.plu"),
         frontend_cfg=frontend_cfg,
+        cmvn_max_utts=cmvn_max_utts,
         meta={"corpus": "timit", "counts": counts, "output_ipa": output_ipa},
     )
     return counts

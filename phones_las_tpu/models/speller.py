@@ -250,7 +250,12 @@ def teacher_forced_decode(
         if sampling_probability is not None
         else cfg.sampling_probability
     )
-    use_ss = cfg.sampling_probability > 0.0 and sampling_rng is not None
+    # Gate on the *effective* probability: a traced override counts even if
+    # the static cfg value is 0 (otherwise an override >0 would silently
+    # no-op when cfg.sampling_probability == 0).
+    use_ss = sampling_rng is not None and (
+        sampling_probability is not None or cfg.sampling_probability > 0.0
+    )
     use_rng = sampling_rng is not None
     monotonic = cfg.attention_type.endswith("_monotonic")
 

@@ -19,6 +19,7 @@ import numpy as np
 import optax
 
 from phones_las_tpu.decode import greedy_decode
+from phones_las_tpu.frontend.features import frames_for_samples
 from phones_las_tpu.models.las import LASConfig, compute_loss, encode
 from phones_las_tpu.train import metrics as M
 from phones_las_tpu.train.checkpoint import CheckpointManager
@@ -52,8 +53,12 @@ class Trainer:
         score_fold: Optional[Dict[int, Optional[int]]] = None,
         implementation: str = "auto",
         default_decode_steps: int = 100,
+        eval_beam_width: int = 0,
+        decode_cap_ratio: float = 1.0,
     ):
         self.default_decode_steps = default_decode_steps
+        self.eval_beam_width = eval_beam_width
+        self.decode_cap_ratio = decode_cap_ratio
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.score_fold = score_fold
@@ -130,13 +135,22 @@ class Trainer:
                     params.speller, cfg.speller, memory, enc_mask, max_steps,
                     return_alignments=True,
                 )
-            return {
-                "loss": aux["loss"],
-                "tokens": tokens,
-                "lengths": lengths,
-                "alignments": aligns,
-                "enc_lengths": enc_lens,
-            }
+                out = {
+                    "loss": aux["loss"],
+                    "tokens": tokens,
+                    "lengths": lengths,
+                    "alignments": aligns,
+                    "enc_lengths": enc_lens,
+                }
+                if params.grapheme_speller is not None:
+                    # score the grapheme head too (multitask CER during eval)
+                    g_tokens, g_lengths, _ = greedy_decode(
+                        params.grapheme_speller, cfg.grapheme_speller,
+                        memory, enc_mask, max_steps,
+                    )
+                    out["g_tokens"] = g_tokens
+                    out["g_lengths"] = g_lengths
+            return out
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step, static_argnames=("max_steps",))
@@ -225,13 +239,14 @@ class Trainer:
                     "lr": float(out["lr"]),
                     "grad_norm": float(out["grad_norm"]),
                 }
-                log_fn(f"train: {msg}")
+                log_fn({"tag": "train", **msg})
                 if writer is not None:
                     writer.write_scalars(step, {k: v for k, v in msg.items() if k != "step"})
                 t0, window, window_n = time.time(), [], 0
             if eval_batches_fn is not None and step % tc.eval_every == 0:
-                ev = self.evaluate(eval_batches_fn(), writer=writer, step=step)
-                log_fn(f"eval @ {step}: {ev}")
+                ev = self.evaluate(eval_batches_fn(), writer=writer, step=step,
+                                   beam_width=self.eval_beam_width)
+                log_fn({"tag": "eval", "step": step, **ev})
                 if writer is not None:
                     writer.write_scalars(step, {f"eval/{k}": v for k, v in ev.items()})
             if self.ckpt is not None:
@@ -273,10 +288,9 @@ class Trainer:
         from phones_las_tpu.models.las import encode as enc_fn
 
         cfg, impl = self.model_cfg, self.implementation
-        steps_cap = max_steps or self._default_cap()
 
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def step_fn(params, batch, k):
+        @functools.partial(jax.jit, static_argnames=("k", "steps_cap"))
+        def step_fn(params, batch, k, steps_cap):
             with jax.default_matmul_precision(cfg.matmul_precision):
                 memory, _, enc_mask = enc_fn(
                     params, cfg, batch["audio"], batch["audio_lengths"],
@@ -291,7 +305,8 @@ class Trainer:
         dist = tokens = 0
         for batch in batches:
             toks, lens = step_fn(
-                self.state.params, device_batch(batch), beam_width
+                self.state.params, device_batch(batch), beam_width,
+                max_steps or self.decode_cap(batch),
             )
             d, t = M.edit_distance_stats(
                 np.asarray(toks), np.asarray(lens),
@@ -311,10 +326,11 @@ class Trainer:
         step: Optional[int] = None,
     ) -> Dict:
         dist = tokens = 0
+        g_dist = g_tokens = 0
         losses = []
         first_image = None
-        steps_cap = max_steps or self._default_cap()
         for batch in batches:
+            steps_cap = max_steps or self.decode_cap(batch)
             out = self._eval_step(self.state.params, device_batch(batch), steps_cap)
             losses.append(float(out["loss"]))
             if first_image is None and batch.get("num_real", 1) > 0:
@@ -334,16 +350,42 @@ class Trainer:
             )
             dist += d
             tokens += t
+            if "g_tokens" in out and "grapheme_targets" in batch:
+                gd, gt = M.edit_distance_stats(
+                    np.asarray(out["g_tokens"]),
+                    np.asarray(out["g_lengths"]),
+                    np.asarray(batch["grapheme_targets"]),
+                    np.asarray(batch["grapheme_lengths"]) - 1,
+                    num_real=batch.get("num_real"),
+                )
+                g_dist += gd
+                g_tokens += gt
         if writer is not None and first_image is not None:
             writer.write_images(
                 step if step is not None else int(self.state.step),
                 {"attention_alignment": first_image[None]},
             )
-        return {
+        res = {
             "loss": float(np.mean(losses)) if losses else float("nan"),
             "per": M.per_from_stats(dist, tokens),
             "ref_tokens": tokens,
         }
+        if g_tokens:
+            res["cer"] = M.per_from_stats(g_dist, g_tokens)
+            res["grapheme_ref_tokens"] = g_tokens
+        return res
 
-    def _default_cap(self) -> int:
-        return self.default_decode_steps
+    def decode_cap(self, batch: Dict) -> int:
+        """Per-bucket decode-step cap ∝ encoder frames (the reference caps
+        ``dynamic_decode``'s max_iterations relative to encoder length,
+        SURVEY.md §4.2). Static per bucket shape → zero extra recompiles
+        beyond the per-bucket programs that already exist."""
+        cfg = self.model_cfg
+        audio = batch["audio"]
+        if cfg.input_is_pcm and getattr(audio, "ndim", 2) == 2:
+            t = frames_for_samples(audio.shape[1], cfg.frontend)
+        else:
+            t = audio.shape[1]
+        for _ in range(cfg.listener.num_layers - 1):
+            t = (t + 1) // 2
+        return max(16, int(self.decode_cap_ratio * t))

@@ -20,6 +20,10 @@ def corpus(tmp_path_factory):
     return path, vocab
 
 
+def last_less_than_first(train_logs):
+    return train_logs[-1]["loss"] < train_logs[0]["loss"]
+
+
 def _cfgs(vocab):
     model_cfg = LASConfig(
         listener=ListenerConfig(input_dim=120, num_layers=2, units=16),
@@ -53,9 +57,9 @@ def test_train_loss_decreases_and_eval_runs(corpus, tmp_path):
     )
     assert int(trainer.state.step) == 30
     # training signal: the first logged window loss exceeds the last
-    first = float(str(losses[0]).split("'loss': ")[1].split(",")[0])
-    last = float(str(losses[-1]).split("'loss': ")[1].split(",")[0])
-    assert last < first, (first, last)
+    # (log_fn receives structured dicts tagged 'train'/'eval')
+    train_logs = [m for m in losses if m.get("tag") == "train"]
+    assert last_less_than_first(train_logs)
 
     ev = trainer.evaluate(source.epoch(0), max_steps=12)
     assert np.isfinite(ev["loss"])
