@@ -43,11 +43,13 @@ def make_audio(b, seed=0):
 # ---------------------------------------------------------------------------
 
 
-def bench_tpu(batch_size=64, iters=20, precision="parity"):
+def bench_tpu(batch_size=64, iters=20, precision="parity", wave=None):
     """precision='parity' reproduces the train/infer CLI default
     (matmul_precision='highest', fp32 numerics — the north star's
     fp32-parity mode); 'production' uses bf16 einsums where parity is
-    not required (the fast path)."""
+    not required (the fast path). ``wave`` dispatches each logical batch
+    as back-to-back device programs of that size (the Transcriber's
+    large-batch strategy — docs/PERF.md B=256 row)."""
     import jax
 
     from phones_las_tpu.utils.jax_cache import enable_compilation_cache
@@ -75,8 +77,11 @@ def bench_tpu(batch_size=64, iters=20, precision="parity"):
             )
         return tokens, lens
 
-    audio = jax.numpy.asarray(make_audio(batch_size))
-    lengths = jax.numpy.full((batch_size,), N_SAMPLES, jax.numpy.int32)
+    w = wave or batch_size
+    assert batch_size % w == 0
+    calls = batch_size // w
+    audio = jax.numpy.asarray(make_audio(w))
+    lengths = jax.numpy.full((w,), N_SAMPLES, jax.numpy.int32)
 
     # NB: on the tunneled backend block_until_ready can return before the
     # work is done; only a host fetch reliably synchronizes. The tunnel
@@ -87,7 +92,7 @@ def bench_tpu(batch_size=64, iters=20, precision="parity"):
     log(f"tpu[{precision}]: compile+warmup {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    outs = [infer(params, audio, lengths) for _ in range(iters)]
+    outs = [infer(params, audio, lengths) for _ in range(iters * calls)]
     np.asarray(outs[-1][0])
     dt = time.time() - t0
     utts = batch_size * iters

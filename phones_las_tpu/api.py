@@ -31,7 +31,10 @@ class Transcriber:
         length_penalty: float = 0.0,
         head: str = "phone",
         implementation: str = "auto",
+        max_device_batch: int = 64,
     ):
+        import dataclasses
+
         import jax
 
         from phones_las_tpu.cli.common import resolve_preset
@@ -40,9 +43,23 @@ class Transcriber:
 
         enable_compilation_cache()
         cfg_file = json.load(open(os.path.join(workdir, "config.json")))
+        # replay the hparam overrides the run was trained with (shapes
+        # must match the checkpoint)
         preset, vocab, gvocab, _, binf_codes = resolve_preset(
-            cfg_file["preset"], cfg_file["data"]
+            cfg_file["preset"], cfg_file["data"],
+            cfg_file.get("overrides") or None,
         )
+        if cfg_file.get("precision"):
+            preset = dataclasses.replace(
+                preset, model=dataclasses.replace(
+                    preset.model, matmul_precision=cfg_file["precision"]),
+            )
+        # batches larger than this are dispatched as back-to-back waves of
+        # this size: B=64 is the measured per-chip throughput sweet spot,
+        # and the device runs queued programs in order, so splitting keeps
+        # the peak rate where one giant program falls off it (docs/PERF.md
+        # B=256 row).
+        self.max_device_batch = max_device_batch
         trainer = Trainer(
             preset.model, preset.train, workdir=workdir,
             binf_codes=binf_codes, implementation=implementation,
@@ -115,19 +132,32 @@ class Transcriber:
     def transcribe_batch(
         self, audio: Sequence[np.ndarray], *, pad_quantum: int = 32000
     ) -> List[List[str]]:
-        """PCM int16/float arrays → token sequences (one per utterance)."""
+        """PCM int16/float arrays → token sequences (one per utterance).
+
+        Batches beyond ``max_device_batch`` are queued as waves of that
+        size (the tail wave zero-padded so every wave reuses one compiled
+        program); all waves are dispatched before any result is fetched,
+        so the device pipeline stays full."""
         b = len(audio)
         lens = np.asarray([a.shape[0] for a in audio], np.int32)
         pad = ((int(lens.max()) + pad_quantum - 1) // pad_quantum) * pad_quantum
-        batch = np.zeros((b, pad), np.float32)
-        for i, a in enumerate(audio):
-            batch[i, : len(a)] = a
-        fn = self._infer_fn(pad, b)
-        toks, out_lens = fn(self.params, batch, lens)
-        toks, out_lens = np.asarray(toks), np.asarray(out_lens)
-        return [
-            self.vocab.decode(toks[i][: out_lens[i]]) for i in range(b)
-        ]
+        wave = min(b, self.max_device_batch)
+        results = []
+        for ofs in range(0, b, wave):
+            n = min(wave, b - ofs)
+            wav_batch = np.zeros((wave, pad), np.float32)
+            for i in range(n):
+                a = audio[ofs + i]
+                wav_batch[i, : len(a)] = a
+            wav_lens = np.zeros((wave,), np.int32)
+            wav_lens[:n] = lens[ofs : ofs + n]
+            fn = self._infer_fn(pad, wave)
+            results.append((n, fn(self.params, wav_batch, wav_lens)))
+        out: List[List[str]] = []
+        for n, (toks, out_lens) in results:  # fetch after all dispatches
+            toks, out_lens = np.asarray(toks), np.asarray(out_lens)
+            out += [self.vocab.decode(toks[i][: out_lens[i]]) for i in range(n)]
+        return out
 
     def transcribe(self, audio: np.ndarray) -> List[str]:
         return self.transcribe_batch([audio])[0]

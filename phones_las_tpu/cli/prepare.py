@@ -39,6 +39,9 @@ def main(argv=None):
     s.add_argument("--out", required=True)
     s.add_argument("--n-utts", type=int, default=128)
     s.add_argument("--n-phones", type=int, default=10)
+    s.add_argument("--graphemes", action="store_true",
+                   help="also emit spelled-out grapheme targets + vocab "
+                        "(enables multitask presets on the synthetic corpus)")
 
     args = p.parse_args(argv)
     cmvn_utts = getattr(args, "cmvn_utts", 500) or None  # 0 → None → all
@@ -68,13 +71,22 @@ def main(argv=None):
         _, vocab = write_synth_corpus(
             os.path.join(args.out, "train.plu"),
             n_utts=args.n_utts, n_phones=args.n_phones,
+            graphemes=args.graphemes,
         )
         write_synth_corpus(
             os.path.join(args.out, "test.plu"),
             n_utts=max(args.n_utts // 4, 8), n_phones=args.n_phones, seed=1,
+            graphemes=args.graphemes,
         )
+        gvocab = None
+        if args.graphemes:
+            from phones_las_tpu.data.synthetic import synth_grapheme_inventory
+            from phones_las_tpu.data.vocab import Vocab
+
+            gvocab = Vocab(synth_grapheme_inventory())
         finalize_split_dir(
-            args.out, vocab, cmvn_from=os.path.join(args.out, "train.plu"),
+            args.out, vocab, grapheme_vocab=gvocab,
+            cmvn_from=os.path.join(args.out, "train.plu"),
             meta={"corpus": "synthetic"},
         )
 

@@ -21,6 +21,10 @@ def synth_phone_inventory(n: int = 10) -> List[str]:
     return [f"ph{i}" for i in range(n)]
 
 
+def synth_grapheme_inventory() -> List[str]:
+    return ["p", "h"] + [str(d) for d in range(10)] + ["|"]
+
+
 def synth_utterance(
     rng: np.random.RandomState,
     vocab: Vocab,
@@ -30,6 +34,7 @@ def synth_utterance(
     dur_range_ms=(60, 160),
     sample_rate=16000,
     amplitude=3000.0,
+    grapheme_vocab: Optional[Vocab] = None,
 ) -> Utterance:
     phones = vocab.real_tokens
     n = rng.randint(*n_phones_range)
@@ -43,7 +48,18 @@ def synth_utterance(
         pieces.append(tone)
     audio = np.concatenate(pieces) + rng.randn(sum(p.shape[0] for p in pieces)) * 50.0
     targets = np.asarray(vocab.encode([phones[p] for p in seq]), np.int32)
-    return Utterance(utt_id, audio.astype(np.int16), targets)
+    graphemes = None
+    text = " ".join(phones[p] for p in seq)
+    if grapheme_vocab is not None:
+        # spell each phone name out ('ph3' → p h 3) with '|' separators: a
+        # learnable 1:many grapheme task over the same audio (multitask)
+        chars: List[str] = []
+        for j, p in enumerate(seq):
+            if j:
+                chars.append("|")
+            chars += list(phones[p])
+        graphemes = np.asarray(grapheme_vocab.encode(chars), np.int32)
+    return Utterance(utt_id, audio.astype(np.int16), targets, graphemes, text)
 
 
 def write_synth_corpus(
@@ -53,12 +69,15 @@ def write_synth_corpus(
     n_phones: int = 10,
     seed: int = 0,
     vocab_path: Optional[str] = None,
+    graphemes: bool = False,
 ) -> Tuple[str, Vocab]:
     vocab = Vocab(synth_phone_inventory(n_phones))
+    gvocab = Vocab(synth_grapheme_inventory()) if graphemes else None
     rng = np.random.RandomState(seed)
     with RecordWriter(path, meta={"corpus": "synthetic", "sample_rate": 16000}) as w:
         for i in range(n_utts):
-            w.write(synth_utterance(rng, vocab, f"synth-{i:04d}"))
+            w.write(synth_utterance(rng, vocab, f"synth-{i:04d}",
+                                    grapheme_vocab=gvocab))
     if vocab_path:
         vocab.save(vocab_path)
     return path, vocab

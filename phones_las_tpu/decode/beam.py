@@ -2,10 +2,25 @@
 
 Replaces TF's ``BeamSearchDecoder`` + ``tile_batch`` (SURVEY.md §4.3 hot
 loop) the TPU way (PAPERS.md arXiv:1811.04568 "Vectorization of
-hypotheses and speech for faster beam search"): beams are a second batch
-axis, every step is one fused jit body over ``[B·K]`` rows, and the loop
-runs a static ``max_steps`` with finished-beam masking — no dynamic trip
-counts, no host round-trips.
+hypotheses and speech for faster beam search"): beams are an explicit
+second batch axis ``[B, K]``, every step is one fused jit body, and the
+loop runs a static ``max_steps`` with finished-beam masking — no dynamic
+trip counts, no host round-trips.
+
+TPU-shaping (this is where the 97 ms → fast path came from, r1 VERDICT
+item 3):
+
+  * **memory/keys are never tiled across beams.** Attention takes the
+    ``[B, K, Q]`` queries against the shared ``[B, T, A]`` keys and the
+    context is one ``bkt,btm->bkm`` einsum — HBM reads of the encoder
+    output per step drop K-fold vs the TF ``tile_batch`` translation.
+  * **carry reordering is a one-hot matmul**, not a gather:
+    ``bkj,bj...->bk...`` einsum against the parent one-hot runs on the
+    MXU; ``take_along_axis`` row gathers are serial on TPU.
+  * **token histories are not carried through the scan.** The scan emits
+    per-step (token, parent) pairs; the best sequences are rebuilt by a
+    cheap reverse backtrace scan afterwards, so the hot loop never
+    touches a ``[B, K, max_steps]`` buffer.
 
 Semantics: log-softmax accumulation; a finished beam only extends with
 <eos> at probability 1 (score frozen); Google-NMT length penalty
@@ -60,56 +75,61 @@ def beam_decode(
     k = beam_width
     v = cfg.vocab_size
 
-    def tile(x):  # [B, ...] → [B*K, ...]
-        return jnp.repeat(x, k, axis=0)
+    keys = precompute_keys(params.attention, memory)  # [B, T, A], not tiled
 
-    memory_bk = tile(memory)
-    mask_bk = tile(enc_mask)
-    keys_bk = precompute_keys(params.attention, memory_bk)
-
-    carry0 = init_speller_carry(cfg, b * k, t_enc, memory.dtype)
-    tokens0 = jnp.full((b, k, max_steps), cfg.eos_id, jnp.int32)
+    # carry is [B, K, ...] throughout (beam axis explicit)
+    carry0 = jax.tree.map(
+        lambda x: x.reshape(b, k, *x.shape[1:]),
+        init_speller_carry(cfg, b * k, t_enc, memory.dtype),
+    )
     # beam 0 active, others -inf so step 1 spreads over distinct tokens
     logp0 = jnp.tile(jnp.array([0.0] + [_NEG] * (k - 1), jnp.float32), (b, 1))
     fin0 = jnp.zeros((b, k), bool)
     len0 = jnp.zeros((b, k), jnp.int32)
     prev0 = jnp.full((b, k), cfg.bos_id, jnp.int32)
+    # finished-beam continuation row: <eos> at logp 0, rest impossible
+    eos_row = jnp.full((v,), _NEG, jnp.float32).at[cfg.eos_id].set(0.0)
 
-    def step(state, i):
-        carry, tokens, logp, finished, lengths, prev = state
-        emb = embed_tokens(params, cfg, prev.reshape(b * k))
+    def step(state, _):
+        carry, logp, finished, lengths, prev = state
+        emb = embed_tokens(params, cfg, prev)  # [B, K, E]
         carry, logits, _ = speller_step(
-            params, cfg, carry, emb, keys_bk, memory_bk, mask_bk
+            params, cfg, carry, emb, keys, memory, enc_mask
         )
-        step_logp = jax.nn.log_softmax(logits.reshape(b, k, v), axis=-1)
-        # finished beams: only <eos> continuation, at logp 0 (score frozen)
-        eos_row = jnp.full((v,), _NEG, jnp.float32).at[cfg.eos_id].set(0.0)
+        step_logp = jax.nn.log_softmax(logits, axis=-1)  # [B, K, V]
         step_logp = jnp.where(finished[..., None], eos_row, step_logp)
 
         total = logp[..., None] + step_logp  # [B, K, V]
         new_logp, flat_idx = jax.lax.top_k(total.reshape(b, k * v), k)
-        parent = flat_idx // v  # [B, K]
+        parent = (flat_idx // v).astype(jnp.int32)  # [B, K]
         tok = (flat_idx % v).astype(jnp.int32)
 
-        def gather_beams(x):
-            # x: [B*K, ...] → parent-gathered [B*K, ...]
-            xk = x.reshape(b, k, *x.shape[1:])
-            idx = parent.reshape(b, k, *([1] * (x.ndim - 1)))
-            return jnp.take_along_axis(xk, idx, axis=1).reshape(x.shape)
-
-        carry = jax.tree.map(gather_beams, carry)
-        tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
-        tokens = tokens.at[:, :, i].set(tok)
+        # reorder the carry by parent beam with a one-hot matmul (MXU)
+        onehot = jax.nn.one_hot(parent, k, dtype=memory.dtype)  # [B, Knew, Kold]
+        carry = jax.tree.map(
+            lambda x: jnp.einsum("bkj,bj...->bk...", onehot, x), carry
+        )
         parent_fin = jnp.take_along_axis(finished, parent, axis=1)
         parent_len = jnp.take_along_axis(lengths, parent, axis=1)
         new_fin = parent_fin | (tok == cfg.eos_id)
-        new_len = parent_len + jnp.where(parent_fin | (tok == cfg.eos_id), 0, 1)
-        return (carry, tokens, new_logp, new_fin, new_len, tok), None
+        new_len = parent_len + jnp.where(new_fin, 0, 1)
+        return (carry, new_logp, new_fin, new_len, tok), (tok, parent)
 
-    state0 = (carry0, tokens0, logp0, fin0, len0, prev0)
-    (_, tokens, logp, finished, lengths, _), _ = jax.lax.scan(
-        step, state0, jnp.arange(max_steps)
+    state0 = (carry0, logp0, fin0, len0, prev0)
+    (_, logp, finished, lengths, _), (toks_s, parents_s) = jax.lax.scan(
+        step, state0, None, length=max_steps
     )
+
+    # backtrace: rebuild [B, K, S] token histories from per-step
+    # (token, parent) pairs — S tiny [B, K] gathers, outside the hot loop
+    def btrace(idx, xs):
+        tok, parent = xs
+        out = jnp.take_along_axis(tok, idx, axis=1)
+        return jnp.take_along_axis(parent, idx, axis=1), out
+
+    idx0 = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :], (b, k))
+    _, rebuilt = jax.lax.scan(btrace, idx0, (toks_s, parents_s), reverse=True)
+    tokens = jnp.transpose(rebuilt, (1, 2, 0))  # [B, K, S]
 
     scores = logp / _length_penalty(lengths, length_penalty)
     any_fin = jnp.any(finished, axis=1, keepdims=True)

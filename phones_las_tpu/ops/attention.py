@@ -78,16 +78,31 @@ def precompute_keys(params: AttentionParams, memory: jnp.ndarray) -> jnp.ndarray
 
 
 def _raw_scores(params, base_variant, query, keys):
+    """query [B, Q] → scores [B, T]; query [B, K, Q] (beam axis, shared
+    keys — beam search never tiles memory across beams) → [B, K, T].
+
+    The beamed additive form stays the XLA broadcast-fuse: measured on
+    v5e, it is VPU-compute-bound on the K·T·A tanh (not bandwidth), and
+    hand-written Pallas variants (VMEM-resident key slabs, MXU reduce)
+    were 1.3–2.1× *slower* than XLA's fusion — negative result recorded
+    in docs/PERF.md."""
+    beamed = query.ndim == 3
     if base_variant in ("bahdanau", "bahdanau_norm"):
-        q = query @ params.wq  # [B, A]
-        act = jnp.tanh(keys + q[:, None, :] + (params.b if params.b is not None else 0.0))
+        q = query @ params.wq  # [B, A] or [B, K, A]
+        b = params.b if params.b is not None else 0.0
         v = params.v
         if base_variant == "bahdanau_norm":
             # weight-normalized v (TF normalize=True): g * v / ||v||, with
             # g initialized to sqrt(1/A) folded into v's init here.
             v = v * jax.lax.rsqrt(jnp.sum(v * v) + 1e-12)
+        if beamed:
+            act = jnp.tanh(keys[:, None, :, :] + q[:, :, None, :] + b)
+            return jnp.einsum("bkta,a->bkt", act, v)
+        act = jnp.tanh(keys + q[:, None, :] + b)
         return jnp.einsum("bta,a->bt", act, v)
-    scores = jnp.einsum("bta,ba->bt", keys, query)
+    scores = jnp.einsum(
+        "bta,bka->bkt" if beamed else "bta,ba->bt", keys, query
+    )
     if base_variant == "luong_scaled":
         scores = scores * params.v
     return scores
@@ -140,10 +155,14 @@ def attention_scores(
 ) -> jnp.ndarray:
     """Attention probabilities [B, T]: masked softmax for the standard
     variants; for ``*_monotonic``, the parallel recursion (training/eval
-    default) or hard decisions (``monotonic_mode='hard'``, test time)."""
+    default) or hard decisions (``monotonic_mode='hard'``, test time).
+    A 3-D query [B, K, Q] (beam axis) yields [B, K, T] against the same
+    [B, T, A] keys."""
     monotonic = variant.endswith("_monotonic")
     base = variant[: -len("_monotonic")] if monotonic else variant
     scores = _raw_scores(params, base, query, keys)
+    if scores.ndim == 3 and mask.ndim == 2:
+        mask = mask[:, None, :]  # broadcast over beams
     if not monotonic:
         scores = jnp.where(mask > 0, scores, _NEG)
         return jax.nn.softmax(scores, axis=-1)
@@ -161,5 +180,8 @@ def attention_scores(
 
 
 def attention_context(probs: jnp.ndarray, memory: jnp.ndarray) -> jnp.ndarray:
-    """[B, T] × [B, T, M] → [B, M]."""
+    """[B, T] × [B, T, M] → [B, M]; beamed [B, K, T] → [B, K, M] (memory
+    is read once per utterance, not once per beam)."""
+    if probs.ndim == 3:
+        return jnp.einsum("bkt,btm->bkm", probs, memory)
     return jnp.einsum("bt,btm->bm", probs, memory)

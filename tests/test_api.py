@@ -33,6 +33,14 @@ def test_transcriber_and_beam_eval(tmp_path):
     toks_b = tb.transcribe(pcm)
     assert isinstance(toks_b, list)
 
+    # wave dispatch: a batch larger than max_device_batch splits into
+    # same-shape device programs (tail zero-padded) with identical output
+    rs = np.random.RandomState(1)
+    clips = [(rs.randn(6000 + 500 * i) * 2000).astype(np.int16) for i in range(5)]
+    ref = Transcriber(wd).transcribe_batch(clips)
+    tw = Transcriber(wd, max_device_batch=2)
+    assert tw.transcribe_batch(clips) == ref and len(ref) == 5
+
     # beam evaluate path
     from phones_las_tpu.cli.common import resolve_preset
     from phones_las_tpu.train import Trainer

@@ -18,7 +18,8 @@ def test_degenerate_utterances_through_pipeline_and_model(tmp_path):
         # shorter than one frontend window
         w.write(Utterance("short", np.ones(100, np.int16) * 500,
                           np.asarray([4], np.int32)))
-        # target longer than max_target_len (truncated)
+        # target longer than max_target_len: DROPPED by the planner
+        # (training on clipped labels is worse than skipping — r1 ADVICE)
         w.write(Utterance("longt", np.ones(3000, np.int16) * 500,
                           np.asarray([4] * 50, np.int32)))
         # audio longer than the largest bucket with drop_too_long=False
@@ -32,9 +33,10 @@ def test_degenerate_utterances_through_pipeline_and_model(tmp_path):
     batches = list(DataSource([path], cfg, use_native="never").epoch(0))
     assert len(batches) == 1
     b = batches[0]
-    assert b["num_real"] == 4
-    assert b["audio_lengths"].tolist() == [1, 100, 3000, 4000]  # longa truncated
-    assert b["target_lengths"].tolist() == [1, 2, 8, 3]  # eos counted, longt capped
+    assert b["num_real"] == 3  # longt dropped (over-long target)
+    assert "longt" not in b["utt_ids"]
+    assert b["audio_lengths"].tolist()[:3] == [1, 100, 4000]  # longa truncated
+    assert b["target_lengths"].tolist()[:3] == [1, 2, 3]  # eos counted
 
     model_cfg = LASConfig(
         listener=ListenerConfig(input_dim=120, num_layers=2, units=8),
