@@ -11,15 +11,27 @@
 // Output is always int16 mono (multi-channel averaged), matching the
 // reference pipelines' expectations at 16 kHz corpora.
 //
+//   * MP3 (Common Voice's distribution format) via the system libmpg123,
+//     loaded with dlopen at runtime (the reference leaned on external
+//     decoders for mp3 too; SURVEY.md §3 Common Voice row)
+// plus a rational polyphase resampler (Kaiser-windowed sinc) so 44.1/48
+// kHz clips can be brought to the corpora's 16 kHz on the native path.
+//
 // C ABI (ctypes):
 //   int plu_decode_audio(const char* path, int16_t** out, long long* n,
 //                        int* sample_rate, char* err, int errlen);
+//   int plu_resample(const int16_t* in, long long n, int in_rate,
+//                    int out_rate, int16_t** out, long long* out_n,
+//                    char* err, int errlen);
 //   void plu_free(int16_t* buf);
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <dlfcn.h>
+#include <numeric>
 #include <string>
 #include <vector>
 
@@ -437,9 +449,186 @@ bool decode_flac(const std::vector<uint8_t>& buf, std::vector<int16_t>* out,
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// MP3 via system libmpg123 (dlopen — no link-time dependency)
+// ---------------------------------------------------------------------------
+struct Mpg123Api {
+  void* lib = nullptr;
+  int (*init)() = nullptr;
+  void* (*new_)(const char*, int*) = nullptr;
+  int (*open)(void*, const char*) = nullptr;
+  int (*getformat)(void*, long*, int*, int*) = nullptr;
+  int (*format_none)(void*) = nullptr;
+  int (*format)(void*, long, int, int) = nullptr;
+  int (*read)(void*, unsigned char*, size_t, size_t*) = nullptr;
+  int (*close)(void*) = nullptr;
+  void (*delete_)(void*) = nullptr;
+  bool ok() const {
+    return lib && init && new_ && open && getformat && format_none && format &&
+           read && close && delete_;
+  }
+};
+
+const Mpg123Api* mpg123_api() {
+  static Mpg123Api api;
+  static bool tried = false;
+  if (!tried) {
+    tried = true;
+    api.lib = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!api.lib) api.lib = dlopen("libmpg123.so", RTLD_NOW | RTLD_LOCAL);
+    if (api.lib) {
+      auto sym = [&](const char* n) { return dlsym(api.lib, n); };
+      api.init = (int (*)())sym("mpg123_init");
+      api.new_ = (void* (*)(const char*, int*))sym("mpg123_new");
+      api.open = (int (*)(void*, const char*))sym("mpg123_open");
+      api.getformat = (int (*)(void*, long*, int*, int*))sym("mpg123_getformat");
+      api.format_none = (int (*)(void*))sym("mpg123_format_none");
+      api.format = (int (*)(void*, long, int, int))sym("mpg123_format");
+      api.read = (int (*)(void*, unsigned char*, size_t, size_t*))sym("mpg123_read");
+      api.close = (int (*)(void*))sym("mpg123_close");
+      api.delete_ = (void (*)(void*))sym("mpg123_delete");
+      if (api.init) api.init();
+    }
+  }
+  return api.ok() ? &api : nullptr;
+}
+
+constexpr int MPG123_ENC_SIGNED_16 = 0xD0;  // mpg123.h enum value
+constexpr int MPG123_OK_ = 0;
+constexpr int MPG123_DONE_ = -12;
+constexpr int MPG123_NEW_FORMAT_ = -11;
+
+bool decode_mp3(const char* path, std::vector<int16_t>* out, int* rate,
+                std::string* err) {
+  const Mpg123Api* m = mpg123_api();
+  if (!m) {
+    *err = "mp3: system libmpg123 not available — convert clips to wav/flac";
+    return false;
+  }
+  int e = 0;
+  void* h = m->new_(nullptr, &e);
+  if (!h) { *err = "mp3: mpg123_new failed"; return false; }
+  bool ok = false;
+  long r = 0;
+  int channels = 0, enc = 0;
+  std::vector<int16_t> buf(65536);
+  do {
+    if (m->open(h, path) != MPG123_OK_) { *err = "mp3: cannot open stream"; break; }
+    if (m->getformat(h, &r, &channels, &enc) != MPG123_OK_ || r <= 0 ||
+        channels <= 0) {
+      *err = "mp3: cannot read stream format";
+      break;
+    }
+    // lock the output format to s16 at the stream's native rate
+    m->format_none(h);
+    if (m->format(h, r, channels, MPG123_ENC_SIGNED_16) != MPG123_OK_) {
+      *err = "mp3: cannot set s16 output";
+      break;
+    }
+    size_t done = 0;
+    int rc;
+    while (true) {
+      rc = m->read(h, (unsigned char*)buf.data(), buf.size() * 2, &done);
+      size_t n = done / 2;
+      if (n) {
+        if (channels == 1) {
+          out->insert(out->end(), buf.begin(), buf.begin() + n);
+        } else {  // downmix to mono
+          for (size_t i = 0; i + channels <= n; i += channels) {
+            int64_t acc = 0;
+            for (int c = 0; c < channels; c++) acc += buf[i + c];
+            out->push_back((int16_t)(acc / channels));
+          }
+        }
+      }
+      if (rc == MPG123_DONE_) { ok = true; break; }
+      if (rc != MPG123_OK_ && rc != MPG123_NEW_FORMAT_) {
+        *err = "mp3: decode error rc=" + std::to_string(rc);
+        break;
+      }
+    }
+  } while (false);
+  m->close(h);
+  m->delete_(h);
+  if (ok && out->empty()) { *err = "mp3: empty stream"; ok = false; }
+  *rate = (int)r;
+  return ok;
+}
+
+// ---------------------------------------------------------------------------
+// Rational polyphase resampler (Kaiser-windowed sinc)
+// ---------------------------------------------------------------------------
+double bessel_i0(double x) {
+  // series expansion; converges fast for the beta range used here
+  double sum = 1.0, term = 1.0;
+  for (int k = 1; k < 64; k++) {
+    term *= (x / (2.0 * k)) * (x / (2.0 * k));
+    sum += term;
+    if (term < 1e-18 * sum) break;
+  }
+  return sum;
+}
+
+bool resample_rational(const std::vector<int16_t>& in, int in_rate,
+                       int out_rate, std::vector<int16_t>* out,
+                       std::string* err) {
+  if (in_rate <= 0 || out_rate <= 0) { *err = "resample: bad rates"; return false; }
+  if (in_rate == out_rate) { *out = in; return true; }
+  int g = std::gcd(in_rate, out_rate);
+  int64_t L = out_rate / g, M = in_rate / g;
+  if (L > 4096 || M > 4096) { *err = "resample: ratio too complex"; return false; }
+  // low-pass at the tighter Nyquist, in the upsampled (rate*L) domain
+  const int K = 10;  // taps per zero crossing
+  int64_t maxLM = L > M ? L : M;
+  int64_t half = K * maxLM;  // filter half-length
+  double fc = 0.945 / (double)maxLM;  // normalized cutoff (×π)
+  double beta = 8.6;  // Kaiser beta ≈ 90 dB stopband
+  std::vector<double> h(2 * half + 1);
+  double i0b = bessel_i0(beta);
+  for (int64_t j = -half; j <= half; j++) {
+    double t = (double)j;
+    double sinc = (j == 0) ? fc : std::sin(M_PI * fc * t) / (M_PI * t);
+    double w = bessel_i0(beta * std::sqrt(1.0 - (t / half) * (t / half))) / i0b;
+    h[j + half] = (double)L * sinc * w;  // gain L compensates zero-stuffing
+  }
+  int64_t n_in = (int64_t)in.size();
+  int64_t n_out = (n_in * L + M - 1) / M;
+  out->resize(n_out);
+  for (int64_t n = 0; n < n_out; n++) {
+    int64_t u = n * M;  // position in the upsampled grid
+    // contributing input samples m: u - half <= m*L <= u + half
+    int64_t m_lo = (u - half + L - 1) / L;
+    int64_t m_hi = (u + half) / L;
+    if (m_lo < 0) m_lo = 0;
+    if (m_hi >= n_in) m_hi = n_in - 1;
+    double acc = 0.0;
+    for (int64_t m = m_lo; m <= m_hi; m++) {
+      acc += h[u - m * L + half] * in[m];
+    }
+    if (acc > 32767.0) acc = 32767.0;
+    if (acc < -32768.0) acc = -32768.0;
+    (*out)[n] = (int16_t)std::lround(acc);
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
+
+int plu_resample(const int16_t* in, long long n, int in_rate, int out_rate,
+                 int16_t** out_buf, long long* out_n, char* err, int errlen) {
+  std::vector<int16_t> inv(in, in + n), outv;
+  std::string e;
+  if (!resample_rational(inv, in_rate, out_rate, &outv, &e)) {
+    set_err(err, errlen, e);
+    return 1;
+  }
+  *out_buf = (int16_t*)malloc(outv.size() * sizeof(int16_t));
+  memcpy(*out_buf, outv.data(), outv.size() * sizeof(int16_t));
+  *out_n = (long long)outv.size();
+  return 0;
+}
 
 int plu_decode_audio(const char* path, int16_t** out_buf, long long* n_samples,
                      int* sample_rate, char* err, int errlen) {
@@ -463,6 +652,9 @@ int plu_decode_audio(const char* path, int16_t** out_buf, long long* n_samples,
   if (sz >= 4 && !memcmp(buf.data(), "RIFF", 4)) ok = decode_wav(buf, &samples, &rate, &e);
   else if (sz >= 7 && !memcmp(buf.data(), "NIST_1A", 7)) ok = decode_sphere(buf, &samples, &rate, &e);
   else if (sz >= 4 && !memcmp(buf.data(), "fLaC", 4)) ok = decode_flac(buf, &samples, &rate, &e);
+  else if (sz >= 3 && (!memcmp(buf.data(), "ID3", 3) ||
+                       (sz >= 2 && buf[0] == 0xFF && (buf[1] & 0xE0) == 0xE0)))
+    ok = decode_mp3(path, &samples, &rate, &e);
   else { ok = false; e = "unrecognized audio container"; }
 
   if (!ok) { set_err(err, errlen, e); return 1; }

@@ -4,9 +4,10 @@ The hot ingestion path uses ``csrc/plu_audio.cc`` (WAV / NIST-SPHERE /
 FLAC → int16 mono), compiled on first use with g++ and loaded via
 ctypes. Pure-Python fallbacks cover WAV and SPHERE when no compiler is
 available; FLAC requires the native decoder (LibriSpeech); MP3 (Common
-Voice's distribution format) has no decoder in this environment — the
-Common Voice pipeline accepts pre-converted wav/flac clips and raises a
-clear error on .mp3 (reference used external decoders there too).
+Voice's distribution format) decodes through the native path's
+libmpg123 shim (dlopen'd at runtime — the reference used external
+decoders there too), with rate conversion by the native polyphase
+resampler.
 """
 
 from __future__ import annotations
@@ -54,7 +55,7 @@ def ensure_built(src_name: str, so_name: str) -> Optional[str]:
         with open(stamp) as f:
             if f.read().strip() == f"{src_digest} {sha(so)}":
                 return so
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", so, src]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", so, src, "-ldl"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:
@@ -87,6 +88,17 @@ def _native() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.plu_decode_audio.restype = ctypes.c_int
+        lib.plu_resample.argtypes = [
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_longlong,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
+        lib.plu_resample.restype = ctypes.c_int
         lib.plu_free.argtypes = [ctypes.POINTER(ctypes.c_int16)]
         _lib = lib
         return _lib
@@ -182,28 +194,60 @@ def _read_sphere_py(path: str) -> Tuple[np.ndarray, int]:
     return arr.astype(np.int16), rate
 
 
-def read_audio(path: str) -> Tuple[np.ndarray, int]:
-    """→ (int16 mono samples, sample_rate). Dispatches on content."""
-    low = path.lower()
-    if low.endswith(".mp3"):
+def resample(samples: np.ndarray, in_rate: int, out_rate: int) -> np.ndarray:
+    """Rational polyphase resample (native Kaiser-windowed sinc)."""
+    if in_rate == out_rate:
+        return samples
+    lib = _native()
+    if lib is None:
         raise ValueError(
-            f"{path}: mp3 decoding is unavailable in this environment; "
-            "pre-convert Common Voice clips to wav/flac"
+            f"resampling {in_rate}->{out_rate} needs the native decoder "
+            "(csrc/plu_audio.cc) and no C++ compiler is available"
         )
+    samples = np.ascontiguousarray(samples, np.int16)
+    buf = ctypes.POINTER(ctypes.c_int16)()
+    n = ctypes.c_longlong()
+    err = ctypes.create_string_buffer(256)
+    rc = lib.plu_resample(
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        len(samples), in_rate, out_rate,
+        ctypes.byref(buf), ctypes.byref(n), err, 256,
+    )
+    if rc != 0:
+        raise ValueError(err.value.decode())
+    try:
+        out = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
+    finally:
+        lib.plu_free(buf)
+    return out
+
+
+def read_audio(path: str, target_rate: Optional[int] = None) -> Tuple[np.ndarray, int]:
+    """→ (int16 mono samples, sample_rate). Dispatches on content.
+
+    With ``target_rate``, streams at other rates are resampled to it
+    (Common Voice mp3s are 32/44.1/48 kHz; the corpora pipeline is 16 kHz).
+    """
+    low = path.lower()
     if _native() is not None:
-        return _read_native(path)
-    if low.endswith(".flac"):
+        samples, rate = _read_native(path)
+    elif low.endswith(".flac") or low.endswith(".mp3"):
         raise ValueError(
-            f"{path}: FLAC needs the native decoder (csrc/plu_audio.cc) "
+            f"{path}: FLAC/MP3 need the native decoder (csrc/plu_audio.cc) "
             "and no C++ compiler is available"
         )
-    with open(path, "rb") as f:
-        magic = f.read(7)
-    if magic[:4] == b"RIFF":
-        return _read_wav_py(path)
-    if magic == b"NIST_1A":
-        return _read_sphere_py(path)
-    raise ValueError(f"{path}: unrecognized audio container")
+    else:
+        with open(path, "rb") as f:
+            magic = f.read(7)
+        if magic[:4] == b"RIFF":
+            samples, rate = _read_wav_py(path)
+        elif magic == b"NIST_1A":
+            samples, rate = _read_sphere_py(path)
+        else:
+            raise ValueError(f"{path}: unrecognized audio container")
+    if target_rate is not None and rate != target_rate:
+        samples, rate = resample(samples, rate, target_rate), target_rate
+    return samples, rate
 
 
 def write_wav(path: str, samples: np.ndarray, rate: int = 16000) -> None:

@@ -4,8 +4,9 @@ Reference: ``process_common_voice.py`` (SURVEY.md §2) — pandas over
 ``validated.tsv``, decode clips, normalize text, grapheme→IPA
 conversion, merge per-language phone inventories into one shared IPA
 vocab (the point of the IPA mapping: cross-corpus/multilingual phone
-recognition). Differences forced by this environment: clips must be
-pre-converted to wav/flac (no mp3 decoder — the reference relied on
+recognition). Clips may be the distribution .mp3 (decoded via the
+native path's libmpg123 shim and resampled to 16 kHz by the native
+polyphase resampler), or pre-converted wav/flac (the reference relied on
 external decoders as well), and G2P is the bundled rule-based
 ``data.g2p`` instead of espeak/phonemizer.
 """
@@ -21,7 +22,7 @@ from phones_las_tpu.data.prep_common import finalize_split_dir, write_corpus_spl
 from phones_las_tpu.data.vocab import Vocab
 from phones_las_tpu.frontend.features import FrontendConfig
 
-_CLIP_EXTS = (".wav", ".flac")
+_CLIP_EXTS = (".wav", ".flac", ".mp3")
 
 
 def _resolve_clip(clips_dir: str, name: str) -> Optional[str]:

@@ -68,8 +68,81 @@ _DE_RULES = [
     ("v", ("f",)), ("w", ("v",)), ("x", ("k", "s")), ("y", ("y",)), ("z", ("ts",)),
 ]
 
-# tiny English lexicon for frequent words; everything else letter-fallback
+# English lexicon for frequent/irregular words; regular spellings go
+# through the context-sensitive letter-to-sound rules below
 _EN_LEXICON: Dict[str, Tuple[str, ...]] = {
+    # numbers, function words, frequent irregulars
+    "one": ("w", "ʌ", "n"), "two": ("t", "u"), "three": ("θ", "ɹ", "i"),
+    "four": ("f", "ɔ", "ɹ"), "five": ("f", "aɪ", "v"), "six": ("s", "ɪ", "k", "s"),
+    "seven": ("s", "ɛ", "v", "ə", "n"), "eight": ("eɪ", "t"),
+    "nine": ("n", "aɪ", "n"), "ten": ("t", "ɛ", "n"),
+    "people": ("p", "i", "p", "ə", "l"), "very": ("v", "ɛ", "ɹ", "i"),
+    "only": ("oʊ", "n", "l", "i"), "over": ("oʊ", "v", "ɚ"),
+    "also": ("ɔ", "l", "s", "oʊ"), "after": ("æ", "f", "t", "ɚ"),
+    "first": ("f", "ɝ", "s", "t"), "because": ("b", "ɪ", "k", "ʌ", "z"),
+    "does": ("d", "ʌ", "z"), "goes": ("ɡ", "oʊ", "z"), "gone": ("ɡ", "ɔ", "n"),
+    "give": ("ɡ", "ɪ", "v"), "given": ("ɡ", "ɪ", "v", "ə", "n"),
+    "live": ("l", "ɪ", "v"), "love": ("l", "ʌ", "v"), "move": ("m", "u", "v"),
+    "none": ("n", "ʌ", "n"), "once": ("w", "ʌ", "n", "s"),
+    "own": ("oʊ", "n"), "most": ("m", "oʊ", "s", "t"),
+    "both": ("b", "oʊ", "θ"), "water": ("w", "ɔ", "t", "ɚ"),
+    "great": ("ɡ", "ɹ", "eɪ", "t"), "through": ("θ", "ɹ", "u"),
+    "though": ("ð", "oʊ"), "thought": ("θ", "ɔ", "t"),
+    "enough": ("ɪ", "n", "ʌ", "f"), "again": ("ə", "ɡ", "ɛ", "n"),
+    "against": ("ə", "ɡ", "ɛ", "n", "s", "t"), "any": ("ɛ", "n", "i"),
+    "every": ("ɛ", "v", "ɹ", "i"), "never": ("n", "ɛ", "v", "ɚ"),
+    "here": ("h", "ɪ", "ɹ"), "where": ("w", "ɛ", "ɹ"), "why": ("w", "aɪ"),
+    "eye": ("aɪ",), "eyes": ("aɪ", "z"), "busy": ("b", "ɪ", "z", "i"),
+    "business": ("b", "ɪ", "z", "n", "ə", "s"),
+    "woman": ("w", "ʊ", "m", "ə", "n"), "women": ("w", "ɪ", "m", "ə", "n"),
+    "says": ("s", "ɛ", "z"), "pretty": ("p", "ɹ", "ɪ", "t", "i"),
+    "friend": ("f", "ɹ", "ɛ", "n", "d"), "should": ("ʃ", "ʊ", "d"),
+    "world": ("w", "ɝ", "l", "d"), "work": ("w", "ɝ", "k"),
+    "word": ("w", "ɝ", "d"), "warm": ("w", "ɔ", "ɹ", "m"),
+    "war": ("w", "ɔ", "ɹ"), "want": ("w", "ɑ", "n", "t"),
+    "watch": ("w", "ɑ", "tʃ"), "wash": ("w", "ɑ", "ʃ"),
+    "whole": ("h", "oʊ", "l"), "whose": ("h", "u", "z"),
+    "heart": ("h", "ɑ", "ɹ", "t"), "earth": ("ɝ", "θ"),
+    "early": ("ɝ", "l", "i"), "learn": ("l", "ɝ", "n"),
+    "laugh": ("l", "æ", "f"), "daughter": ("d", "ɔ", "t", "ɚ"),
+    "father": ("f", "ɑ", "ð", "ɚ"), "mother": ("m", "ʌ", "ð", "ɚ"),
+    "brother": ("b", "ɹ", "ʌ", "ð", "ɚ"), "another": ("ə", "n", "ʌ", "ð", "ɚ"),
+    "money": ("m", "ʌ", "n", "i"), "month": ("m", "ʌ", "n", "θ"),
+    "some": ("s", "ʌ", "m"), "come": ("k", "ʌ", "m"), "done": ("d", "ʌ", "n"),
+    "son": ("s", "ʌ", "n"), "front": ("f", "ɹ", "ʌ", "n", "t"),
+    "won": ("w", "ʌ", "n"), "today": ("t", "ə", "d", "eɪ"),
+    "together": ("t", "ə", "ɡ", "ɛ", "ð", "ɚ"), "too": ("t", "u"),
+    "shoe": ("ʃ", "u"), "shoes": ("ʃ", "u", "z"), "sure": ("ʃ", "ʊ", "ɹ"),
+    "sugar": ("ʃ", "ʊ", "ɡ", "ɚ"), "usual": ("j", "u", "ʒ", "u", "ə", "l"),
+    "young": ("j", "ʌ", "ŋ"), "touch": ("t", "ʌ", "tʃ"),
+    "country": ("k", "ʌ", "n", "t", "ɹ", "i"),
+    "cousin": ("k", "ʌ", "z", "ə", "n"), "double": ("d", "ʌ", "b", "ə", "l"),
+    "trouble": ("t", "ɹ", "ʌ", "b", "ə", "l"), "blood": ("b", "l", "ʌ", "d"),
+    "flood": ("f", "l", "ʌ", "d"), "door": ("d", "ɔ", "ɹ"),
+    "floor": ("f", "l", "ɔ", "ɹ"), "poor": ("p", "ʊ", "ɹ"),
+    "course": ("k", "ɔ", "ɹ", "s"), "court": ("k", "ɔ", "ɹ", "t"),
+    "island": ("aɪ", "l", "ə", "n", "d"), "hour": ("aʊ", "ɚ"),
+    "honest": ("ɑ", "n", "ə", "s", "t"), "answer": ("æ", "n", "s", "ɚ"),
+    "often": ("ɔ", "f", "ə", "n"), "listen": ("l", "ɪ", "s", "ə", "n"),
+    "half": ("h", "æ", "f"), "walk": ("w", "ɔ", "k"), "talk": ("t", "ɔ", "k"),
+    "pull": ("p", "ʊ", "l"), "push": ("p", "ʊ", "ʃ"), "put": ("p", "ʊ", "t"),
+    "full": ("f", "ʊ", "l"), "bush": ("b", "ʊ", "ʃ"), "wolf": ("w", "ʊ", "l", "f"),
+    "off": ("ɔ", "f"), "use": ("j", "u", "z"), "used": ("j", "u", "z", "d"),
+    "house": ("h", "aʊ", "s"), "read": ("ɹ", "i", "d"), "head": ("h", "ɛ", "d"),
+    "dead": ("d", "ɛ", "d"), "bread": ("b", "ɹ", "ɛ", "d"),
+    "heavy": ("h", "ɛ", "v", "i"), "weather": ("w", "ɛ", "ð", "ɚ"),
+    "ready": ("ɹ", "ɛ", "d", "i"), "already": ("ɔ", "l", "ɹ", "ɛ", "d", "i"),
+    "instead": ("ɪ", "n", "s", "t", "ɛ", "d"), "breath": ("b", "ɹ", "ɛ", "θ"),
+    "heard": ("h", "ɝ", "d"), "year": ("j", "ɪ", "ɹ"),
+    "years": ("j", "ɪ", "ɹ", "z"), "new": ("n", "u"), "knew": ("n", "u"),
+    "how": ("h", "aʊ"), "now": ("n", "aʊ"), "down": ("d", "aʊ", "n"),
+    "good": ("ɡ", "ʊ", "d"), "book": ("b", "ʊ", "k"), "took": ("t", "ʊ", "k"),
+    "foot": ("f", "ʊ", "t"), "stood": ("s", "t", "ʊ", "d"),
+    "something": ("s", "ʌ", "m", "θ", "ɪ", "ŋ"),
+    "nothing": ("n", "ʌ", "θ", "ɪ", "ŋ"), "always": ("ɔ", "l", "w", "eɪ", "z"),
+    "almost": ("ɔ", "l", "m", "oʊ", "s", "t"), "night": ("n", "aɪ", "t"),
+    "light": ("l", "aɪ", "t"), "right": ("ɹ", "aɪ", "t"),
+    "might": ("m", "aɪ", "t"), "high": ("h", "aɪ"),
     "the": ("ð", "ə"), "a": ("ə",), "an": ("æ", "n"), "and": ("æ", "n", "d"),
     "of": ("ʌ", "v"), "to": ("t", "u"), "in": ("ɪ", "n"), "is": ("ɪ", "z"),
     "you": ("j", "u"), "that": ("ð", "æ", "t"), "it": ("ɪ", "t"),
@@ -88,23 +161,108 @@ _EN_LEXICON: Dict[str, Tuple[str, ...]] = {
     "out": ("aʊ", "t"), "many": ("m", "ɛ", "n", "i"), "then": ("ð", "ɛ", "n"),
     "them": ("ð", "ɛ", "m"), "these": ("ð", "i", "z"), "so": ("s", "oʊ"),
     "some": ("s", "ʌ", "m"), "her": ("h", "ɝ"), "would": ("w", "ʊ", "d"),
-    "make": ("m", "eɪ", "k"), "like": ("l", "aɪ", "k"), "him": ("h", "ɪ", "m"),
-    "into": ("ɪ", "n", "t", "u"), "time": ("t", "aɪ", "m"),
-    "has": ("h", "æ", "z"), "look": ("l", "ʊ", "k"), "two": ("t", "u"),
+    "him": ("h", "ɪ", "m"),
+    "into": ("ɪ", "n", "t", "u"), "has": ("h", "æ", "z"), "look": ("l", "ʊ", "k"), "two": ("t", "u"),
     "more": ("m", "ɔ", "ɹ"), "go": ("ɡ", "oʊ"), "see": ("s", "i"),
     "no": ("n", "oʊ"), "way": ("w", "eɪ"), "could": ("k", "ʊ", "d"),
     "my": ("m", "aɪ"), "than": ("ð", "æ", "n"), "been": ("b", "ɪ", "n"),
     "who": ("h", "u"), "its": ("ɪ", "t", "s"), "now": ("n", "aʊ"),
     "did": ("d", "ɪ", "d"), "get": ("ɡ", "ɛ", "t"), "come": ("k", "ʌ", "m"),
-    "made": ("m", "eɪ", "d"), "may": ("m", "eɪ"), "part": ("p", "ɑ", "ɹ", "t"),
+    "may": ("m", "eɪ"), "part": ("p", "ɑ", "ɹ", "t"),
 }
 
+# English letter-to-sound rules. Entries are (pattern, phones) where
+# pattern is a plain string (longest-match prefix) or a compiled regex
+# matched at the current position (lookahead/lookbehind give context
+# sensitivity: magic-e, soft c/g, suffixes, r-colored vowels). First
+# match wins — order is most-specific-first.
+_C = "bcdfghjklmnpqrstvwxz"  # consonant letters
+_rx = re.compile
+
+
+def _magic_e(vowel: str, phones) -> tuple:
+    # V + single consonant + e(-s/-d) at word end → long vowel ("make",
+    # "time", "hopes", "cared"); the trailing e is silenced by the e$ rule
+    return (_rx(f"{vowel}(?=[{_C.replace('x', '')}]e(s|d)?$)"), phones)
+
+
 _EN_RULES = [
-    ("tch", ("tʃ",)), ("ch", ("tʃ",)), ("sh", ("ʃ",)), ("th", ("θ",)),
-    ("ph", ("f",)), ("wh", ("w",)), ("ck", ("k",)), ("ng", ("ŋ",)),
-    ("qu", ("k", "w")), ("oo", ("u",)), ("ee", ("i",)), ("ea", ("i",)),
-    ("ou", ("aʊ",)), ("ow", ("oʊ",)), ("ay", ("eɪ",)), ("ai", ("eɪ",)),
-    ("oi", ("ɔɪ",)), ("oy", ("ɔɪ",)), ("igh", ("aɪ",)),
+    # ---- suffixes -------------------------------------------------------
+    (_rx(r"tion"), ("ʃ", "ə", "n")),
+    (_rx(r"ssion"), ("ʃ", "ə", "n")),
+    (_rx(r"sion"), ("ʒ", "ə", "n")),
+    (_rx(r"ture"), ("tʃ", "ɚ")),
+    (_rx(r"cious|tious"), ("ʃ", "ə", "s")),
+    (_rx(r"ous$"), ("ə", "s")),
+    (_rx(r"(?<=[td])ed$"), ("ɪ", "d")),
+    (_rx(r"(?<=[kpfsx])ed$"), ("t",)),
+    (_rx(r"(?<=[cs]h)ed$"), ("t",)),
+    (_rx(r"ed$"), ("d",)),
+    (_rx(r"(?<=[sxz])es$"), ("ɪ", "z")),
+    (_rx(r"(?<=[cs]h)es$"), ("ɪ", "z")),
+    (_rx(rf"(?<=[{_C}])le$"), ("ə", "l")),
+    (_rx(rf"(?<=[{_C}])les$"), ("ə", "l", "z")),
+    (_rx(r"(?<=[bdgmnlrvw])es$"), ("z",)),  # silent e + voiced plural
+    (_rx(r"(?<=[pktf])es$"), ("s",)),
+    (_rx(r"ing$"), ("ɪ", "ŋ")),
+    (_rx(r"y$"), ("i",)),
+    (_rx(r"ys$"), ("i", "z")),
+    # ---- silent clusters ------------------------------------------------
+    (_rx(r"^kn"), ("n",)),
+    (_rx(r"^wr"), ("ɹ",)),
+    (_rx(r"^ps"), ("s",)),
+    (_rx(r"mb$"), ("m",)),
+    (_rx(r"(?<=[aeiou])gh(?=t)"), ()),  # light/eight via vowel rules
+    # ---- vowel digraphs / trigraphs -------------------------------------
+    ("eigh", ("eɪ",)), ("aigh", ("eɪ",)), ("igh", ("aɪ",)),
+    ("augh", ("ɔ",)), ("ough", ("ɔ",)),  # irregular oughs live in the lexicon
+    ("eau", ("oʊ",)),
+    # r-colored combos take precedence over the plain digraphs
+    (_rx(r"ar(?=e$)"), ("ɛ", "ɹ")), ("air", ("ɛ", "ɹ")),
+    ("ear", ("ɪ", "ɹ")), ("eer", ("ɪ", "ɹ")),
+    (_rx(r"or(?=e$)"), ("ɔ", "ɹ")),
+    ("oa", ("oʊ",)), (_rx(r"oe$"), ("oʊ",)), ("ew", ("u",)),
+    (_rx(r"ue$"), ("u",)), ("ui", ("u",)),
+    (_rx(r"oo(?=k)"), ("ʊ",)), ("oo", ("u",)),
+    ("ou", ("aʊ",)), (_rx(r"ow$"), ("oʊ",)), ("ow", ("aʊ",)),
+    ("ee", ("i",)), (_rx(r"ey$"), ("i",)), ("ea", ("i",)), ("ei", ("i",)),
+    ("ai", ("eɪ",)), ("ay", ("eɪ",)),
+    ("oi", ("ɔɪ",)), ("oy", ("ɔɪ",)),
+    ("aw", ("ɔ",)), ("au", ("ɔ",)),
+    # ---- remaining r-colored vowels --------------------------------------
+    ("alk", ("ɔ", "k")), ("alm", ("ɑ", "m")),
+    ("ar", ("ɑ", "ɹ")), ("or", ("ɔ", "ɹ")),
+    (_rx(r"er$"), ("ɚ",)), (_rx(r"ers$"), ("ɚ", "z")),
+    ("er", ("ɝ",)), ("ir", ("ɝ",)), ("ur", ("ɝ",)),
+    # ---- magic-e / open-syllable long vowels -----------------------------
+    _magic_e("a", ("eɪ",)),
+    _magic_e("e", ("i",)),
+    _magic_e("i", ("aɪ",)),
+    _magic_e("o", ("oʊ",)),
+    (_rx(rf"(?<=[lrj])u(?=[{_C}]e(s|d)?$)"), ("u",)),  # rule, June
+    _magic_e("u", ("j", "u")),
+    (_rx(rf"a(?=[{_C}]ing$)"), ("eɪ",)),  # making (dropped-e forms)
+    (_rx(rf"i(?=[{_C}]ing$)"), ("aɪ",)),  # riding
+    (_rx(rf"o(?=[{_C}]ing$)"), ("oʊ",)),  # hoping
+    (_rx(rf"u(?=[{_C}]ing$)"), ("u",)),  # using
+    (_rx(rf"a(?=[{_C}]le$)"), ("eɪ",)),  # table, able
+    (_rx(r"a(?=tion|ture)"), ("eɪ",)),  # nation, nature
+    (_rx(rf"a(?=[{_C}]ous$)"), ("eɪ",)),  # famous
+    (_rx(r"o(?=tion)"), ("oʊ",)),  # motion
+    (_rx(r"i(?=nd$)"), ("aɪ",)),  # find, kind
+    (_rx(r"o(?=ld$)"), ("oʊ",)),  # old, cold
+    (_rx(r"e$"), ()),  # silent final e
+    # ---- consonants ------------------------------------------------------
+    ("tch", ("tʃ",)), ("dge", ("dʒ",)), ("ch", ("tʃ",)), ("sh", ("ʃ",)),
+    ("th", ("θ",)), ("ph", ("f",)), ("wh", ("w",)), ("ck", ("k",)),
+    (_rx(r"ng$"), ("ŋ",)), ("nk", ("ŋ", "k")), ("ng", ("ŋ", "ɡ")),
+    ("qu", ("k", "w")),
+    (_rx(r"c(?=[eiy])"), ("s",)), (_rx(r"g(?=[eiy])"), ("dʒ",)),
+    ("cc", ("k",)), ("ll", ("l",)), ("ss", ("s",)), ("tt", ("t",)),
+    ("pp", ("p",)), ("mm", ("m",)), ("nn", ("n",)), ("dd", ("d",)),
+    ("rr", ("ɹ",)), ("ff", ("f",)), ("gg", ("ɡ",)), ("bb", ("b",)),
+    ("zz", ("z",)),
+    # ---- single letters ---------------------------------------------------
     ("a", ("æ",)), ("e", ("ɛ",)), ("i", ("ɪ",)), ("o", ("ɑ",)), ("u", ("ʌ",)),
     ("b", ("b",)), ("c", ("k",)), ("d", ("d",)), ("f", ("f",)), ("g", ("ɡ",)),
     ("h", ("h",)), ("j", ("dʒ",)), ("k", ("k",)), ("l", ("l",)), ("m", ("m",)),
@@ -217,14 +375,25 @@ def normalize_text(text: str) -> List[str]:
 
 
 def word_to_ipa(word: str, rules: Sequence[tuple]) -> List[str]:
+    """Apply (pattern, phones) rules left-to-right; a pattern is a plain
+    string (prefix match at the cursor) or a compiled regex matched at the
+    cursor (lookahead/lookbehind see the whole word). First match wins."""
     out: List[str] = []
     i = 0
-    while i < len(word):
+    n = len(word)
+    while i < n:
         for g, phones in rules:
-            if word.startswith(g, i):
-                out.extend(phones)
-                i += len(g)
-                break
+            if isinstance(g, str):
+                if word.startswith(g, i):
+                    out.extend(phones)
+                    i += len(g)
+                    break
+            else:
+                m = g.match(word, i)
+                if m and m.end() > i:  # must consume ≥1 char
+                    out.extend(phones)
+                    i = m.end()
+                    break
         else:
             i += 1  # unknown character: skip
     return out

@@ -39,14 +39,20 @@ def write_corpus_split(
     if read_audio is None:
         from phones_las_tpu.data.audio_io import read_audio
     n = 0
+    skipped = 0
     with RecordWriter(out_path, meta=meta) as w:
         for utt_id, path, tokens, graphemes, text in items:
-            audio, rate = read_audio(path)
+            # other-rate streams (e.g. 48 kHz Common Voice mp3s) are
+            # resampled by the native polyphase resampler
+            try:
+                audio, rate = read_audio(path, target_rate=expected_rate)
+            except ValueError as e:
+                # one corrupt clip must not abort a corpus-scale prep run
+                skipped += 1
+                log(f"  skipping undecodable clip: {e}")
+                continue
             if rate != expected_rate:
-                raise ValueError(
-                    f"{path}: sample rate {rate} != {expected_rate} "
-                    "(resampling not supported; pre-convert)"
-                )
+                raise ValueError(f"{path}: sample rate {rate} != {expected_rate}")
             w.write(
                 Utterance(
                     utt_id,
@@ -63,6 +69,8 @@ def write_corpus_split(
             n += 1
             if log_every and n % log_every == 0:
                 log(f"  {out_path}: {n} utterances")
+    if skipped:
+        log(f"  {out_path}: skipped {skipped} undecodable clip(s)")
     return n
 
 
