@@ -61,6 +61,15 @@ def bench_tpu(batch_size=64, iters=20, precision="parity", wave=None):
     from __graft_entry__ import _flagship_cfg
 
     cfg = _flagship_cfg()
+    if precision == "production":
+        # production numerics: bf16 einsums + bf16 recurrent dots (via the
+        # ambient scope below) and the 3-pass split-float front-end
+        # (rel err 9e-4 vs the f64 oracle — tighter than the bf16 einsums)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, frontend=dataclasses.replace(cfg.frontend, precision="high")
+        )
     params = init_las(jax.random.PRNGKey(0), cfg)
     prec = "highest" if precision == "parity" else "default"
 

@@ -15,6 +15,23 @@ from phones_las_tpu.models.las import LASConfig, LASParams
 from phones_las_tpu.utils.config import Preset, get_preset
 
 
+def honor_jax_platforms_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu ...cli...`` actually mean CPU: some PJRT
+    plugins (the tunneled-TPU one in this image) register themselves
+    regardless of the env var, so the CLIs re-assert it through
+    ``jax.config`` (which wins) before any backend initializes. No-op when
+    the var is unset or a backend is already live."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 def load_data_dir(data_dir: str):
     vocab = Vocab.load(os.path.join(data_dir, "vocab.txt"))
     gpath = os.path.join(data_dir, "grapheme_vocab.txt")
@@ -75,7 +92,12 @@ def resolve_preset(
     for k, v in (overrides or {}).items():
         if v is None:
             continue
-        if k in _listener_keys:
+        if k == "frontend_precision":
+            model = dataclasses.replace(
+                model,
+                frontend=dataclasses.replace(model.frontend, precision=v),
+            )
+        elif k in _listener_keys:
             model = dataclasses.replace(
                 model,
                 listener=dataclasses.replace(

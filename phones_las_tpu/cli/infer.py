@@ -12,6 +12,9 @@ import argparse
 
 
 def main(argv=None):
+    from phones_las_tpu.cli.common import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", required=True)
     p.add_argument("--data", required=True, help="a .plu record file or data dir")

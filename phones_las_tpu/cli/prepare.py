@@ -6,6 +6,9 @@ import argparse
 
 
 def main(argv=None):
+    from phones_las_tpu.cli.common import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="corpus", required=True)
 

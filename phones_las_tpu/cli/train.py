@@ -13,6 +13,9 @@ import os
 
 
 def main(argv=None):
+    from phones_las_tpu.cli.common import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="timit_phone_las",
                    help="one of utils.config.PRESETS")
@@ -49,6 +52,11 @@ def main(argv=None):
     p.add_argument("--precision", default=None, choices=["highest", "high", "default"],
                    help="model matmul precision override: 'highest' = reference "
                         "fp32 parity (default), 'default' = bf16 production speed")
+    p.add_argument("--frontend-precision", default=None,
+                   choices=["highest", "high"],
+                   help="front-end DFT/mel MXU precision: 'highest' = 6-pass "
+                        "f32 parity (default), 'high' = 3-pass split-float "
+                        "(1.3x faster, rel err 9e-4 — fine for production)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable the NaN sanitizer (jax_debug_nans)")
     p.add_argument("--profile-steps", type=int, default=0,
@@ -87,6 +95,7 @@ def main(argv=None):
         "sampling_probability": args.sampling_probability,
         "multitask_weight": args.multitask_weight,
         "clip_norm": args.clip_norm,
+        "frontend_precision": args.frontend_precision,
     }
     preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(
         args.preset, args.data, overrides

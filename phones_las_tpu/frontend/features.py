@@ -70,8 +70,11 @@ class FrontendConfig:
     add_deltas: bool = True
     delta_width: int = 2
     # MXU precision of the DFT/mel/DCT matmuls: 'highest' (6-pass f32,
-    # required for the fp32-parity north star) or 'high' (3-pass bf16,
-    # ~2x faster, |Δlog-mel| ≲ 0.06 — fine for training/production).
+    # required for the fp32-parity north star; rel err vs f64 oracle
+    # 1.8e-5 measured on TPU) or 'high' (3-pass bf16 — explicit Dekker
+    # split in the Pallas kernel since Mosaic lowers only DEFAULT/HIGHEST;
+    # 1.26x faster, rel err 8.7e-4 — fine for training/production).
+    # 'default' (1-pass bf16) measures 16% rel err: do not use here.
     precision: str = "highest"
 
     @property

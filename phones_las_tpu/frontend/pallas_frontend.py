@@ -44,6 +44,32 @@ _HI = jax.lax.Precision.HIGHEST
 _ROWS = 8  # utterances per program (DMA sublane alignment quantum)
 
 
+def _split_dot(a, b_ref, prec):
+    """MXU dot at the requested precision. Mosaic lowers only DEFAULT and
+    HIGHEST; HIGH (3-pass bf16, XLA's middle tier) is implemented here as
+    an explicit 2-term Dekker split — a = hi + lo with both halves exactly
+    representable in bf16 — keeping the hi·hi, hi·lo and lo·hi products
+    (the dropped lo·lo term is ≤2^-16 relative): ~2× fewer MXU passes than
+    HIGHEST at ~1e-5 relative error (measured vs the f64 oracle)."""
+    if prec == jax.lax.Precision.HIGH:
+        bf = jnp.bfloat16
+        f32 = jnp.float32
+        a_hi = a.astype(bf)
+        a_lo = (a - a_hi.astype(f32)).astype(bf)
+        b = b_ref[:, :]
+        b_hi = b.astype(bf)
+        b_lo = (b - b_hi.astype(f32)).astype(bf)
+        dn = (((1,), (0,)), ((), ()))
+        acc = jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=f32)
+        acc += jax.lax.dot_general(a_hi, b_lo, dn, preferred_element_type=f32)
+        acc += jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=f32)
+        return acc
+    return jax.lax.dot_general(
+        a, b_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
 def _kernel(
     ft: int, win: int, hop: int, nfft: int, n_bins: int, log_floor: float,
     chunk: int, prec=_HI,
@@ -67,22 +93,12 @@ def _kernel(
         for r in range(_ROWS):
             for tt in range(ft):
                 frames_scr[r * ft + tt, :] = chunk_scr[r, tt * hop : tt * hop + win]
-        proj = jax.lax.dot_general(
-            frames_scr[:, :], basis_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
+        proj = _split_dot(frames_scr[:, :], basis_ref, prec)
         re = proj[:, :n_bins]
         im = proj[:, n_bins:]
         power = (re * re + im * im) * (1.0 / nfft)  # [_ROWS*FT, bins]
         energy_ref[0, 0, :, 0] = jnp.sum(power, axis=1)
-        mel = jax.lax.dot_general(
-            power, mel_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
+        mel = _split_dot(power, mel_ref, prec)
         out_ref[0, 0, :, :] = jnp.log(jnp.maximum(mel, log_floor))
 
     return kernel

@@ -23,7 +23,7 @@ activations sigmoid/tanh; no peepholes, no projection.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +66,36 @@ def _cell_math(gates, c, forget_bias):
     return h_new, c_new
 
 
+# Recurrent-dot precision: 'highest' = 6-pass f32 MXU (parity mode);
+# 'bf16' = single-pass bf16×bf16→f32 MXU dot with f32 cell state, gate
+# math, and accumulation (the production-mode counterpart of XLA's
+# DEFAULT matmul precision, which the surrounding input-projection
+# einsums already get from the ambient jax.default_matmul_precision).
+def _rec_dot(h, wh_ref, prec: str):
+    if prec == "bf16":
+        return jnp.dot(
+            h.astype(jnp.bfloat16), wh_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32, precision=_HI)
+
+
+def _rec_wh(wh, prec: str):
+    return wh.astype(jnp.bfloat16) if prec == "bf16" else wh
+
+
+def resolve_rnn_precision(precision: Optional[str] = None) -> str:
+    """None → follow the ambient ``jax.default_matmul_precision`` scope:
+    'default'/'fastest'/'bfloat16' map to the bf16 recurrent dot, anything
+    else (including no scope at all) keeps the 6-pass f32 parity dot. The
+    ambient value is part of jit's trace context, so parity and production
+    callers get separately compiled kernels."""
+    if precision is not None:
+        return precision
+    amb = jax.config.jax_default_matmul_precision
+    return "bf16" if amb in ("default", "fastest", "bfloat16") else "highest"
+
+
 def _recurrence_xla(
     xp_tm: jnp.ndarray,  # [T, B, 4U] time-major projected input (bias included)
     mask_tm: jnp.ndarray,  # [T, B] 1.0 for valid steps
@@ -92,7 +122,7 @@ def _recurrence_xla(
     return out, (h, c)
 
 
-def _make_lstm_kernel(tc: int, reverse: bool, forget_bias: float):
+def _make_lstm_kernel(tc: int, reverse: bool, forget_bias: float, prec: str):
     def kernel(xp_ref, mask_ref, wh_ref, out_ref, hfin_ref, cfin_ref, h_scr, c_scr):
         i = pl.program_id(0)
 
@@ -103,9 +133,7 @@ def _make_lstm_kernel(tc: int, reverse: bool, forget_bias: float):
 
         steps = range(tc - 1, -1, -1) if reverse else range(tc)
         for tt in steps:
-            gates = xp_ref[tt] + jnp.dot(
-                h_scr[:], wh_ref[:], preferred_element_type=jnp.float32, precision=_HI
-            )
+            gates = xp_ref[tt] + _rec_dot(h_scr[:], wh_ref, prec)
             h_new, c_new = _cell_math(gates, c_scr[:], forget_bias)
             m = mask_ref[tt][:, None]
             h_scr[:] = m * h_new + (1.0 - m) * h_scr[:]
@@ -117,7 +145,9 @@ def _make_lstm_kernel(tc: int, reverse: bool, forget_bias: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("reverse", "forget_bias", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "forget_bias", "interpret", "prec")
+)
 def _recurrence_pallas(
     xp_tm: jnp.ndarray,  # [T, B, 4U]
     mask_tm: jnp.ndarray,  # [T, B]
@@ -125,6 +155,7 @@ def _recurrence_pallas(
     reverse: bool = False,
     forget_bias: float = 1.0,
     interpret: bool = False,
+    prec: str = "highest",
 ):
     """Fused recurrence: grid streams TC-step blocks (auto double-buffered
     by the Pallas pipeline); h/c persist in VMEM scratch across the
@@ -152,7 +183,7 @@ def _recurrence_pallas(
     blk2 = lambda i: ((n_blocks - 1 - i) if reverse else i, 0)
 
     out, hfin, cfin = pl.pallas_call(
-        _make_lstm_kernel(tc, reverse, forget_bias),
+        _make_lstm_kernel(tc, reverse, forget_bias, prec),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((tc, b, four_u), blk, memory_space=pltpu.VMEM),
@@ -174,11 +205,11 @@ def _recurrence_pallas(
             pltpu.VMEM((b, u), jnp.float32),
         ],
         interpret=interpret,
-    )(xp_tm, mask_tm, wh)
+    )(xp_tm, mask_tm, _rec_wh(wh, prec))
     return out[:t], (hfin, cfin)
 
 
-def _make_bilstm_kernel(tc: int, forget_bias: float):
+def _make_bilstm_kernel(tc: int, forget_bias: float, prec: str):
     """Both directions in one grid pass: at grid step i the forward
     direction consumes time-block i while the backward direction consumes
     block n-1-i (each input stream has its own index map). The two
@@ -197,14 +228,8 @@ def _make_bilstm_kernel(tc: int, forget_bias: float):
 
         for tt in range(tc):
             tb = tc - 1 - tt  # backward direction's step within its block
-            gates_f = xpf_ref[tt] + jnp.dot(
-                hf_scr[:], whf_ref[:], preferred_element_type=jnp.float32,
-                precision=_HI,
-            )
-            gates_b = xpb_ref[tb] + jnp.dot(
-                hb_scr[:], whb_ref[:], preferred_element_type=jnp.float32,
-                precision=_HI,
-            )
+            gates_f = xpf_ref[tt] + _rec_dot(hf_scr[:], whf_ref, prec)
+            gates_b = xpb_ref[tb] + _rec_dot(hb_scr[:], whb_ref, prec)
             hf_new, cf_new = _cell_math(gates_f, cf_scr[:], forget_bias)
             hb_new, cb_new = _cell_math(gates_b, cb_scr[:], forget_bias)
             mf = maskf_ref[tt][:, None]
@@ -223,9 +248,12 @@ def _make_bilstm_kernel(tc: int, forget_bias: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("forget_bias", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("forget_bias", "interpret", "prec")
+)
 def _recurrence_pallas_bidir(
-    xpf_tm, xpb_tm, mask_tm, whf, whb, forget_bias=1.0, interpret=False
+    xpf_tm, xpb_tm, mask_tm, whf, whb, forget_bias=1.0, interpret=False,
+    prec: str = "highest",
 ):
     """Fused bidirectional recurrence (forward-only; used at inference).
     → (out_f, out_b, (hf, cf), (hb, cb)) with lax.scan-equivalent
@@ -252,7 +280,7 @@ def _recurrence_pallas_bidir(
     fix = lambda i: (0, 0)
 
     outs = pl.pallas_call(
-        _make_bilstm_kernel(tc, forget_bias),
+        _make_bilstm_kernel(tc, forget_bias, prec),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((tc, b, four_u), fwd3, memory_space=pltpu.VMEM),
@@ -280,7 +308,7 @@ def _recurrence_pallas_bidir(
         ],
         scratch_shapes=[pltpu.VMEM((b, u), jnp.float32) for _ in range(4)],
         interpret=interpret,
-    )(xpf_tm, xpb_tm, mask_tm, mask_tm, whf, whb)
+    )(xpf_tm, xpb_tm, mask_tm, mask_tm, _rec_wh(whf, prec), _rec_wh(whb, prec))
     out_f, out_b, hf, cf, hb, cb = outs
     return out_f[:t], out_b[:t], (hf, cf), (hb, cb)
 
@@ -294,7 +322,8 @@ def _block_budget(b: int, u: int, four_u: int, t: int, streams: int) -> int:
     return t if t <= budget_tc else budget_tc
 
 
-def _make_lstm_fwd_res_kernel(tc: int, reverse: bool, forget_bias: float):
+def _make_lstm_fwd_res_kernel(tc: int, reverse: bool, forget_bias: float,
+                              prec: str):
     """Forward kernel that also saves the residuals the backward pass
     needs: the *unmasked* per-step h'_t and c'_t. (At valid steps these
     equal the carried state; masked steps are never read back.)"""
@@ -310,9 +339,7 @@ def _make_lstm_fwd_res_kernel(tc: int, reverse: bool, forget_bias: float):
 
         steps = range(tc - 1, -1, -1) if reverse else range(tc)
         for tt in steps:
-            gates = xp_ref[tt] + jnp.dot(
-                h_scr[:], wh_ref[:], preferred_element_type=jnp.float32, precision=_HI
-            )
+            gates = xp_ref[tt] + _rec_dot(h_scr[:], wh_ref, prec)
             h_new, c_new = _cell_math(gates, c_scr[:], forget_bias)
             m = mask_ref[tt][:, None]
             h_scr[:] = m * h_new + (1.0 - m) * h_scr[:]
@@ -326,7 +353,8 @@ def _make_lstm_fwd_res_kernel(tc: int, reverse: bool, forget_bias: float):
     return kernel
 
 
-def _make_lstm_bwd_kernel(tc: int, reverse: bool, forget_bias: float):
+def _make_lstm_bwd_kernel(tc: int, reverse: bool, forget_bias: float,
+                          prec: str):
     """Backward-pass kernel: iterates time in the opposite direction of
     the forward pass, recomputes the gate activations from (xp, h_prev)
     — one extra MXU matmul instead of 4U of saved activations — and
@@ -359,9 +387,9 @@ def _make_lstm_bwd_kernel(tc: int, reverse: bool, forget_bias: float):
             m = mask_ref[tt][:, None]
             hprev = hprev_ref[tt]
             cprev = cprev_ref[tt]
-            gates = xp_ref[tt] + jnp.dot(
-                hprev, wh_ref[:], preferred_element_type=jnp.float32, precision=_HI
-            )
+            # recompute gates with the SAME dot mode as the forward pass so
+            # the VJP differentiates the function that actually ran
+            gates = xp_ref[tt] + _rec_dot(hprev, wh_ref, prec)
             gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
             si = jax.nn.sigmoid(gi)
             sf = jax.nn.sigmoid(gf + forget_bias)
@@ -378,13 +406,20 @@ def _make_lstm_bwd_kernel(tc: int, reverse: bool, forget_bias: float):
             dg = dc_new * si * (1.0 - sg * sg)
             dgates = jnp.concatenate([di, df, dg, do], axis=-1)
             dxp_ref[tt] = dgates
+            if prec == "bf16":  # f32 accumulation either way
+                dgates_d = dgates.astype(jnp.bfloat16)
+                hprev_d = hprev.astype(jnp.bfloat16)
+                kw = dict(preferred_element_type=jnp.float32)
+            else:
+                dgates_d, hprev_d = dgates, hprev
+                kw = dict(preferred_element_type=jnp.float32, precision=_HI)
             dwh_scr[:] += jax.lax.dot_general(
-                hprev, dgates, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
+                hprev_d, dgates_d, dimension_numbers=(((0,), (0,)), ((), ())),
+                **kw,
             )
             dh_scr[:] = (1.0 - m) * dh_scr[:] + jax.lax.dot_general(
-                dgates, wh_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
+                dgates_d, wh_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                **kw,
             )
             dc_scr[:] = (1.0 - m) * dc_scr[:] + dc_new * sf
 
@@ -395,9 +430,12 @@ def _make_lstm_bwd_kernel(tc: int, reverse: bool, forget_bias: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("reverse", "forget_bias", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "forget_bias", "interpret", "prec")
+)
 def _recurrence_pallas_residual(
-    xp_tm, mask_tm, wh, reverse=False, forget_bias=1.0, interpret=False
+    xp_tm, mask_tm, wh, reverse=False, forget_bias=1.0, interpret=False,
+    prec: str = "highest",
 ):
     t, b, four_u = xp_tm.shape
     u = four_u // 4
@@ -412,7 +450,7 @@ def _recurrence_pallas_residual(
     fix = lambda i: (0, 0)
 
     out, hraw, craw, hfin, cfin = pl.pallas_call(
-        _make_lstm_fwd_res_kernel(tc, reverse, forget_bias),
+        _make_lstm_fwd_res_kernel(tc, reverse, forget_bias, prec),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((tc, b, four_u), blk, memory_space=pltpu.VMEM),
@@ -438,14 +476,16 @@ def _recurrence_pallas_residual(
             pltpu.VMEM((b, u), jnp.float32),
         ],
         interpret=interpret,
-    )(xp_tm, mask_tm, wh)
+    )(xp_tm, mask_tm, _rec_wh(wh, prec))
     return out[:t], hraw[:t], craw[:t], hfin, cfin
 
 
-@functools.partial(jax.jit, static_argnames=("reverse", "forget_bias", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "forget_bias", "interpret", "prec")
+)
 def _recurrence_pallas_bwd(
     xp_tm, mask_tm, wh, hraw, craw, dout, dhfin, dcfin,
-    reverse=False, forget_bias=1.0, interpret=False,
+    reverse=False, forget_bias=1.0, interpret=False, prec: str = "highest",
 ):
     t, b, four_u = xp_tm.shape
     u = four_u // 4
@@ -480,7 +520,7 @@ def _recurrence_pallas_bwd(
     fix = lambda i: (0, 0)
 
     dxp, dwh = pl.pallas_call(
-        _make_lstm_bwd_kernel(tc, reverse, forget_bias),
+        _make_lstm_bwd_kernel(tc, reverse, forget_bias, prec),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((tc, b, four_u), blk, memory_space=pltpu.VMEM),
@@ -506,33 +546,35 @@ def _recurrence_pallas_bwd(
             pltpu.VMEM((u, four_u), jnp.float32),
         ],
         interpret=interpret,
-    )(xp_tm, hprev, cprev, dout, mask_tm, wh, dhfin, dcfin)
+    )(xp_tm, hprev, cprev, dout, mask_tm, _rec_wh(wh, prec), dhfin, dcfin)
     return dxp[:t], dwh
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def pallas_recurrence(xp_tm, mask_tm, wh, reverse, forget_bias, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def pallas_recurrence(xp_tm, mask_tm, wh, reverse, forget_bias, interpret,
+                      prec="highest"):
     """Differentiable fused recurrence (custom VJP: Pallas fwd + bwd)."""
     return _recurrence_pallas(
         xp_tm, mask_tm, wh, reverse=reverse, forget_bias=forget_bias,
-        interpret=interpret,
+        interpret=interpret, prec=prec,
     )
 
 
-def _pallas_rec_fwd(xp_tm, mask_tm, wh, reverse, forget_bias, interpret):
+def _pallas_rec_fwd(xp_tm, mask_tm, wh, reverse, forget_bias, interpret, prec):
     out, hraw, craw, hfin, cfin = _recurrence_pallas_residual(
         xp_tm, mask_tm, wh, reverse=reverse, forget_bias=forget_bias,
-        interpret=interpret,
+        interpret=interpret, prec=prec,
     )
     return (out, (hfin, cfin)), (xp_tm, mask_tm, wh, hraw, craw)
 
 
-def _pallas_rec_bwd(reverse, forget_bias, interpret, res, ct):
+def _pallas_rec_bwd(reverse, forget_bias, interpret, prec, res, ct):
     xp_tm, mask_tm, wh, hraw, craw = res
     dout, (dhfin, dcfin) = ct
     dxp, dwh = _recurrence_pallas_bwd(
         xp_tm, mask_tm, wh, hraw, craw, dout, dhfin, dcfin,
         reverse=reverse, forget_bias=forget_bias, interpret=interpret,
+        prec=prec,
     )
     return dxp, jnp.zeros_like(mask_tm), dwh
 
@@ -540,8 +582,9 @@ def _pallas_rec_bwd(reverse, forget_bias, interpret, res, ct):
 pallas_recurrence.defvjp(_pallas_rec_fwd, _pallas_rec_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def pallas_bidir_recurrence(xpf, xpb, mask_tm, whf, whb, forget_bias, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def pallas_bidir_recurrence(xpf, xpb, mask_tm, whf, whb, forget_bias,
+                            interpret, prec="highest"):
     """Differentiable fused bidirectional recurrence: the primal runs both
     directions interleaved in ONE kernel (independent chains hide each
     other's serial matmul latency — measured 1.42× over two sequential
@@ -549,34 +592,34 @@ def pallas_bidir_recurrence(xpf, xpb, mask_tm, whf, whb, forget_bias, interpret)
     kernels."""
     out_f, out_b, st_f, st_b = _recurrence_pallas_bidir(
         xpf, xpb, mask_tm, whf, whb, forget_bias=forget_bias,
-        interpret=interpret,
+        interpret=interpret, prec=prec,
     )
     return out_f, out_b, st_f, st_b
 
 
-def _bidir_fwd(xpf, xpb, mask_tm, whf, whb, forget_bias, interpret):
+def _bidir_fwd(xpf, xpb, mask_tm, whf, whb, forget_bias, interpret, prec):
     out_f, hraw_f, craw_f, hf, cf = _recurrence_pallas_residual(
         xpf, mask_tm, whf, reverse=False, forget_bias=forget_bias,
-        interpret=interpret,
+        interpret=interpret, prec=prec,
     )
     out_b, hraw_b, craw_b, hb, cb = _recurrence_pallas_residual(
         xpb, mask_tm, whb, reverse=True, forget_bias=forget_bias,
-        interpret=interpret,
+        interpret=interpret, prec=prec,
     )
     res = (xpf, xpb, mask_tm, whf, whb, hraw_f, craw_f, hraw_b, craw_b)
     return (out_f, out_b, (hf, cf), (hb, cb)), res
 
 
-def _bidir_bwd(forget_bias, interpret, res, ct):
+def _bidir_bwd(forget_bias, interpret, prec, res, ct):
     xpf, xpb, mask_tm, whf, whb, hraw_f, craw_f, hraw_b, craw_b = res
     dout_f, dout_b, (dhf, dcf), (dhb, dcb) = ct
     dxpf, dwhf = _recurrence_pallas_bwd(
         xpf, mask_tm, whf, hraw_f, craw_f, dout_f, dhf, dcf,
-        reverse=False, forget_bias=forget_bias, interpret=interpret,
+        reverse=False, forget_bias=forget_bias, interpret=interpret, prec=prec,
     )
     dxpb, dwhb = _recurrence_pallas_bwd(
         xpb, mask_tm, whb, hraw_b, craw_b, dout_b, dhb, dcb,
-        reverse=True, forget_bias=forget_bias, interpret=interpret,
+        reverse=True, forget_bias=forget_bias, interpret=interpret, prec=prec,
     )
     return dxpf, dxpb, jnp.zeros_like(mask_tm), dwhf, dwhb
 
@@ -596,6 +639,7 @@ def lstm_layer(
     reverse: bool = False,
     forget_bias: float = 1.0,
     implementation: str = "xla",  # 'xla' | 'pallas' (both differentiable)
+    precision: Optional[str] = None,  # None → ambient; 'highest' | 'bf16'
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Unidirectional LSTM over a padded batch.
 
@@ -607,6 +651,7 @@ def lstm_layer(
     xp_tm = jnp.transpose(xp, (1, 0, 2))
     mask_tm = jnp.transpose(length_mask(lengths, t, xp.dtype), (1, 0))
     if implementation == "pallas":
+        prec = resolve_rnn_precision(precision)
         # large batches can't fit a >=8-step time chunk in VMEM; process
         # independent batch slices sequentially (identical results).
         max_b = 128
@@ -616,7 +661,7 @@ def lstm_layer(
                 o, (h_, c_) = pallas_recurrence(
                     xp_tm[:, ofs : ofs + max_b],
                     mask_tm[:, ofs : ofs + max_b],
-                    params.wh, reverse, forget_bias, _use_interpret(),
+                    params.wh, reverse, forget_bias, _use_interpret(), prec,
                 )
                 outs.append(o)
                 hs.append(h_)
@@ -625,7 +670,8 @@ def lstm_layer(
             state = (jnp.concatenate(hs, axis=0), jnp.concatenate(cs, axis=0))
             return jnp.transpose(out_tm, (1, 0, 2)), state
         out_tm, state = pallas_recurrence(
-            xp_tm, mask_tm, params.wh, reverse, forget_bias, _use_interpret()
+            xp_tm, mask_tm, params.wh, reverse, forget_bias, _use_interpret(),
+            prec,
         )
     else:
         out_tm, state = _recurrence_xla(xp_tm, mask_tm, params.wh, forget_bias, reverse)
@@ -640,6 +686,7 @@ def bilstm_layer(
     *,
     forget_bias: float = 1.0,
     implementation: str = "xla",
+    precision: Optional[str] = None,  # None → ambient; 'highest' | 'bf16'
 ) -> Tuple[jnp.ndarray, Tuple]:
     """Bidirectional LSTM: concat(fwd, bwd) over the feature axis,
     matching ``tf.nn.bidirectional_dynamic_rnn`` output layout. The
@@ -669,6 +716,7 @@ def bilstm_layer(
     mask_tm = jnp.transpose(length_mask(lengths, t, x.dtype), (1, 0))
 
     interp = _use_interpret()
+    prec = resolve_rnn_precision(precision)
     max_b = 64  # bidir streams double per-row VMEM; halve the chunk bound
     if b > max_b:
         outs, sts_f, sts_b = [], [], []
@@ -676,7 +724,7 @@ def bilstm_layer(
             of, ob, st_f, st_b = pallas_bidir_recurrence(
                 xpf_tm[:, ofs : ofs + max_b], xpb_tm[:, ofs : ofs + max_b],
                 mask_tm[:, ofs : ofs + max_b], fwd.wh, bwd.wh,
-                forget_bias, interp,
+                forget_bias, interp, prec,
             )
             outs.append(jnp.concatenate([of, ob], axis=-1))
             sts_f.append(st_f)
@@ -688,7 +736,7 @@ def bilstm_layer(
         return jnp.transpose(out, (1, 0, 2)), (cat(sts_f), cat(sts_b))
 
     out_f, out_b, st_f, st_b = pallas_bidir_recurrence(
-        xpf_tm, xpb_tm, mask_tm, fwd.wh, bwd.wh, forget_bias, interp
+        xpf_tm, xpb_tm, mask_tm, fwd.wh, bwd.wh, forget_bias, interp, prec
     )
     out = jnp.concatenate([out_f, out_b], axis=-1)
     return jnp.transpose(out, (1, 0, 2)), (st_f, st_b)

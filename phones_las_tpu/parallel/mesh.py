@@ -62,6 +62,10 @@ def _attention_spec(p: AttentionParams) -> AttentionParams:
 
 def _speller_spec(p: SpellerParams) -> SpellerParams:
     return SpellerParams(
+        # replicated on purpose (unlike out_w, which shards over 'model'):
+        # the embedding gather indexes the vocab axis, so sharding either
+        # axis would turn every decode step's lookup into a collective;
+        # at vocab≲1e3 × dim≲512 replication is cheaper than the gather.
         embedding=P(None, None),
         cells=tuple(_lstm_spec() for _ in p.cells),
         attention=_attention_spec(p.attention),

@@ -66,6 +66,43 @@ def test_pallas_matches_xla():
         np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_x), rtol=1e-5, atol=1e-5)
 
 
+def test_bf16_recurrent_dot_mode():
+    """The production-precision recurrent dot ('bf16'): close to the f32
+    kernel (it IS lower precision — loose tolerance), grads finite, and
+    precision=None resolves from the ambient matmul-precision scope."""
+    from phones_las_tpu.ops.lstm import resolve_rnn_precision
+
+    assert resolve_rnn_precision(None) == "highest"  # no ambient scope
+    with jax.default_matmul_precision("default"):
+        assert resolve_rnn_precision(None) == "bf16"
+    with jax.default_matmul_precision("highest"):
+        assert resolve_rnn_precision(None) == "highest"
+    assert resolve_rnn_precision("bf16") == "bf16"  # explicit wins
+
+    rng = jax.random.PRNGKey(7)
+    p = init_lstm_params(rng, 16, 32)
+    x = np.random.RandomState(7).randn(4, 37, 16).astype(np.float32)
+    lens = jnp.asarray([37, 20, 33, 5])
+    out_hi, _ = lstm_layer(
+        p, jnp.asarray(x), lens, implementation="pallas", precision="highest"
+    )
+    out_bf, _ = lstm_layer(
+        p, jnp.asarray(x), lens, implementation="pallas", precision="bf16"
+    )
+    dev = float(jnp.max(jnp.abs(out_bf - out_hi)))
+    assert 0 < dev < 2e-2, dev  # differs (really bf16) but stays close
+
+    def loss(params):
+        o, _ = lstm_layer(
+            params, jnp.asarray(x), lens, implementation="pallas",
+            precision="bf16",
+        )
+        return jnp.sum(o * o)
+
+    g = jax.grad(loss)(p)
+    assert all(bool(jnp.isfinite(v).all()) for v in (g.wx, g.wh, g.b))
+
+
 def test_bilstm_shapes_and_grad():
     rng = jax.random.PRNGKey(2)
     pf = init_lstm_params(rng, 8, 16)

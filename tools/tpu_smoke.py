@@ -96,6 +96,10 @@ def main():
         out, (h, c) = pallas_recurrence(xp, mask, wh, False, 1.0, interpret)
         return jnp.sum(out * out) + jnp.sum(h) + jnp.sum(c), out
 
+    def pl_loss_prec(xp, wh, prec):
+        out, (h, c) = pallas_recurrence(xp, mask, wh, False, 1.0, interpret, prec)
+        return jnp.sum(out * out) + jnp.sum(h) + jnp.sum(c), out
+
     (ref_l, ref_out), (ref_dxp, ref_dwh) = jax.jit(
         jax.value_and_grad(xla_loss, argnums=(0, 1), has_aux=True)
     )(xp, p.wh)
@@ -105,6 +109,20 @@ def main():
     check("recurrence/out", got_out, ref_out, tol=1e-5)
     check("recurrence/dxp", got_dxp, ref_dxp, tol=1e-4)
     check("recurrence/dwh", got_dwh, ref_dwh, tol=1e-4)
+
+    # ------------------------------------------------------------------
+    # 3b. bf16 recurrent-dot mode (production precision): close to the
+    # f32 kernel, grads finite — loose tolerance, it IS lower precision
+    log("recurrence bf16 mode...")
+    (bf_l, bf_out), (bf_dxp, bf_dwh) = jax.jit(
+        jax.value_and_grad(
+            lambda a, w: pl_loss_prec(a, w, "bf16"), argnums=(0, 1),
+            has_aux=True,
+        )
+    )(xp, p.wh)
+    check("recurrence/bf16_out", bf_out, ref_out, tol=2e-2)
+    if not bool(np.isfinite(fetch(bf_dxp)).all() & np.isfinite(fetch(bf_dwh)).all()):
+        failures.append("recurrence/bf16_grads")
 
     # ------------------------------------------------------------------
     # 4. fused bidirectional kernel vs two scans
