@@ -611,6 +611,13 @@ def _bidir_fwd(xpf, xpb, mask_tm, whf, whb, forget_bias, interpret, prec):
 
 
 def _bidir_bwd(forget_bias, interpret, prec, res, ct):
+    # NB: a fused two-direction backward kernel (mirroring the fused
+    # forward's 1.42x interleave win) measured EXACTLY the same as these
+    # two sequential calls (10.93 vs 10.95 ms encoder fwd+bwd, B=32 x 8 s
+    # v5e): the VJP streams 7 U-sized arrays per direction per step, so it
+    # is VMEM-bandwidth-bound, not serial-latency-bound like the forward.
+    # Negative result recorded in docs/PERF.md; kept sequential for
+    # simplicity.
     xpf, xpb, mask_tm, whf, whb, hraw_f, craw_f, hraw_b, craw_b = res
     dout_f, dout_b, (dhf, dcf), (dhb, dcb) = ct
     dxpf, dwhf = _recurrence_pallas_bwd(
