@@ -292,22 +292,30 @@ class Trainer:
         @functools.partial(jax.jit, static_argnames=("k", "steps_cap"))
         def step_fn(params, batch, k, steps_cap):
             with jax.default_matmul_precision(cfg.matmul_precision):
-                memory, _, enc_mask = enc_fn(
+                encoded = enc_fn(
                     params, cfg, batch["audio"], batch["audio_lengths"],
                     implementation=impl,
+                )
+                memory, _, enc_mask = encoded
+                # teacher-forced eval loss (same metric as the greedy leg)
+                _, aux = compute_loss(
+                    params, cfg, batch, train=False, implementation=impl,
+                    encoded=encoded,
                 )
                 res = beam_decode(
                     params.speller, cfg.speller, memory, enc_mask,
                     steps_cap, beam_width=k,
                 )
-                return res.tokens, res.lengths
+                return res.tokens, res.lengths, aux["loss"]
 
         dist = tokens = 0
+        losses = []
         for batch in batches:
-            toks, lens = step_fn(
+            toks, lens, loss = step_fn(
                 self.state.params, device_batch(batch), beam_width,
                 max_steps or self.decode_cap(batch),
             )
+            losses.append(float(loss))
             d, t = M.edit_distance_stats(
                 np.asarray(toks), np.asarray(lens),
                 np.asarray(batch["targets"]),
@@ -316,7 +324,11 @@ class Trainer:
             )
             dist += d
             tokens += t
-        return {"per": M.per_from_stats(dist, tokens), "ref_tokens": tokens}
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "per": M.per_from_stats(dist, tokens),
+            "ref_tokens": tokens,
+        }
 
     def _evaluate_greedy(
         self,
