@@ -35,9 +35,29 @@ from phones_las_tpu.ops.attention import (
     init_attention_params,
     precompute_keys,
 )
-from phones_las_tpu.ops.lstm import LSTMParams, init_lstm_params
+from phones_las_tpu.ops.lstm import (
+    LSTMParams,
+    init_lstm_params,
+    resolve_rnn_precision,
+)
 
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _recurrent_dot(h: jnp.ndarray, wh: jnp.ndarray) -> jnp.ndarray:
+    """The decoder cell's h·Wh dot, honoring the ambient matmul-precision
+    scope the same way the encoder's Pallas recurrence does
+    (``ops.lstm.resolve_rnn_precision``): parity mode (the CLI default, or
+    no scope) keeps the 6-pass f32 MXU dot; production mode
+    (``--precision default``) runs one bf16×bf16→f32 pass with f32
+    accumulation and cell state. The ambient value is part of jit's trace
+    context, so both modes get their own compiled step."""
+    if resolve_rnn_precision(None) == "bf16":
+        return jnp.dot(
+            h.astype(jnp.bfloat16), wh.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.matmul(h, wh, precision=_HI)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,7 +210,7 @@ def speller_step(
     x = jnp.concatenate([token_emb, carry.attn_vec], axis=-1)
     new_states = []
     for (h, c), cell in zip(carry.states, params.cells):
-        gates = x @ cell.wx + cell.b + jnp.matmul(h, cell.wh, precision=_HI)
+        gates = x @ cell.wx + cell.b + _recurrent_dot(h, cell.wh)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h = jax.nn.sigmoid(o) * jnp.tanh(c)

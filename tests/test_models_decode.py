@@ -208,3 +208,21 @@ def test_binf_embedding_mode_trains_and_decodes():
     assert np.isfinite(np.asarray(g.embedding)).all()
     toks, lens, _ = greedy_decode(params, cfg, mem, mask, max_steps=5)
     assert toks.shape == (2, 5)
+
+
+def test_production_scope_decoder_dot_close_to_parity():
+    """Under the production matmul scope the speller's recurrent dot runs
+    as one bf16 MXU pass (models/speller.py _recurrent_dot); its logits
+    must stay close to the parity-mode computation and greedy tokens must
+    normally agree on a well-separated model."""
+    cfg, params = _tiny_speller()
+    mem, mask = _memory()
+    dec_in = jnp.asarray([[BOS, 3, 4], [BOS, 5, 6]], jnp.int32)
+    ref, _, _ = teacher_forced_decode(params, cfg, dec_in, mem, mask)
+    with jax.default_matmul_precision("default"):
+        prod = jax.jit(
+            lambda p: teacher_forced_decode(p, cfg, dec_in, mem, mask)[0]
+        )(params)
+    dev = float(jnp.max(jnp.abs(ref - prod)))
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert dev <= max(2e-2 * scale, 2e-2), (dev, scale)
