@@ -325,12 +325,18 @@ def _block_budget(b: int, u: int, four_u: int, t: int, streams: int) -> int:
 def _make_lstm_fwd_res_kernel(tc: int, reverse: bool, forget_bias: float,
                               prec: str):
     """Forward kernel that also saves the residuals the backward pass
-    needs: the *unmasked* per-step h'_t and c'_t. (At valid steps these
-    equal the carried state; masked steps are never read back.)"""
+    needs: the *carried state before each step* (h_{t-1}, c_{t-1} in the
+    forward iteration order). Saving the pre-step state directly — rather
+    than the raw post-states — lets the backward kernel consume it with no
+    XLA shift/mask reconstruction pass (a full T·B·2U HBM read+write). In
+    bf16 mode the residuals are stored bf16: the backward's gate-recompute
+    dot casts h_prev to bf16 anyway, so only c_prev loses precision (used
+    in df and dc_prev), bounded by the smoke/VJP test tolerances."""
 
-    def kernel(xp_ref, mask_ref, wh_ref, out_ref, hraw_ref, craw_ref,
+    def kernel(xp_ref, mask_ref, wh_ref, out_ref, hprev_ref, cprev_ref,
                hfin_ref, cfin_ref, h_scr, c_scr):
         i = pl.program_id(0)
+        res_dtype = hprev_ref.dtype
 
         @pl.when(i == 0)
         def _():
@@ -339,14 +345,14 @@ def _make_lstm_fwd_res_kernel(tc: int, reverse: bool, forget_bias: float,
 
         steps = range(tc - 1, -1, -1) if reverse else range(tc)
         for tt in steps:
+            hprev_ref[tt] = h_scr[:].astype(res_dtype)
+            cprev_ref[tt] = c_scr[:].astype(res_dtype)
             gates = xp_ref[tt] + _rec_dot(h_scr[:], wh_ref, prec)
             h_new, c_new = _cell_math(gates, c_scr[:], forget_bias)
             m = mask_ref[tt][:, None]
             h_scr[:] = m * h_new + (1.0 - m) * h_scr[:]
             c_scr[:] = m * c_new + (1.0 - m) * c_scr[:]
             out_ref[tt] = m * h_new
-            hraw_ref[tt] = h_new
-            craw_ref[tt] = c_new
         hfin_ref[:] = h_scr[:]
         cfin_ref[:] = c_scr[:]
 
@@ -385,8 +391,8 @@ def _make_lstm_bwd_kernel(tc: int, reverse: bool, forget_bias: float,
         steps = range(tc) if reverse else range(tc - 1, -1, -1)
         for tt in steps:
             m = mask_ref[tt][:, None]
-            hprev = hprev_ref[tt]
-            cprev = cprev_ref[tt]
+            hprev = hprev_ref[tt]  # bf16 in bf16 mode (dot casts anyway)
+            cprev = cprev_ref[tt].astype(jnp.float32)
             # recompute gates with the SAME dot mode as the forward pass so
             # the VJP differentiates the function that actually ran
             gates = xp_ref[tt] + _rec_dot(hprev, wh_ref, prec)
@@ -439,6 +445,7 @@ def _recurrence_pallas_residual(
 ):
     t, b, four_u = xp_tm.shape
     u = four_u // 4
+    res_dtype = jnp.bfloat16 if prec == "bf16" else xp_tm.dtype
     tc = _block_budget(b, u, four_u, t, streams=3)
     n_blocks = pl.cdiv(t, tc)
     t_pad = n_blocks * tc
@@ -449,7 +456,7 @@ def _recurrence_pallas_residual(
     blk2 = lambda i: ((n_blocks - 1 - i) if reverse else i, 0)
     fix = lambda i: (0, 0)
 
-    out, hraw, craw, hfin, cfin = pl.pallas_call(
+    out, hprev, cprev, hfin, cfin = pl.pallas_call(
         _make_lstm_fwd_res_kernel(tc, reverse, forget_bias, prec),
         grid=(n_blocks,),
         in_specs=[
@@ -466,8 +473,8 @@ def _recurrence_pallas_residual(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, b, u), xp_tm.dtype),
-            jax.ShapeDtypeStruct((t_pad, b, u), xp_tm.dtype),
-            jax.ShapeDtypeStruct((t_pad, b, u), xp_tm.dtype),
+            jax.ShapeDtypeStruct((t_pad, b, u), res_dtype),
+            jax.ShapeDtypeStruct((t_pad, b, u), res_dtype),
             jax.ShapeDtypeStruct((b, u), xp_tm.dtype),
             jax.ShapeDtypeStruct((b, u), xp_tm.dtype),
         ],
@@ -477,32 +484,21 @@ def _recurrence_pallas_residual(
         ],
         interpret=interpret,
     )(xp_tm, mask_tm, _rec_wh(wh, prec))
-    return out[:t], hraw[:t], craw[:t], hfin, cfin
+    return out[:t], hprev[:t], cprev[:t], hfin, cfin
 
 
 @functools.partial(
     jax.jit, static_argnames=("reverse", "forget_bias", "interpret", "prec")
 )
 def _recurrence_pallas_bwd(
-    xp_tm, mask_tm, wh, hraw, craw, dout, dhfin, dcfin,
+    xp_tm, mask_tm, wh, hprev, cprev, dout, dhfin, dcfin,
     reverse=False, forget_bias=1.0, interpret=False, prec: str = "highest",
 ):
+    """hprev/cprev are the carried-state residuals the forward residual
+    kernel saved *before* each step (so no shift/mask reconstruction is
+    needed here); they may be bf16 in bf16 mode."""
     t, b, four_u = xp_tm.shape
     u = four_u // 4
-    zeros = jnp.zeros((1, b, u), xp_tm.dtype)
-    # The carried state before a valid step equals the *previous step's*
-    # raw h'/c' only if that previous step was itself valid; otherwise it
-    # is still the zero init (reverse direction hits this at t = len-1,
-    # whose processing predecessor t = len is masked). Masking the
-    # shifted streams reconstructs the true carried state in all cases.
-    m3 = mask_tm[..., None]
-    if reverse:  # forward pass ran t descending → "prev" is t+1
-        hprev = jnp.concatenate([(hraw * m3)[1:], zeros], axis=0)
-        cprev = jnp.concatenate([(craw * m3)[1:], zeros], axis=0)
-    else:
-        hprev = jnp.concatenate([zeros, (hraw * m3)[:-1]], axis=0)
-        cprev = jnp.concatenate([zeros, (craw * m3)[:-1]], axis=0)
-
     tc = _block_budget(b, u, four_u, t, streams=7)
     n_blocks = pl.cdiv(t, tc)
     t_pad = n_blocks * tc
@@ -561,18 +557,18 @@ def pallas_recurrence(xp_tm, mask_tm, wh, reverse, forget_bias, interpret,
 
 
 def _pallas_rec_fwd(xp_tm, mask_tm, wh, reverse, forget_bias, interpret, prec):
-    out, hraw, craw, hfin, cfin = _recurrence_pallas_residual(
+    out, hprev, cprev, hfin, cfin = _recurrence_pallas_residual(
         xp_tm, mask_tm, wh, reverse=reverse, forget_bias=forget_bias,
         interpret=interpret, prec=prec,
     )
-    return (out, (hfin, cfin)), (xp_tm, mask_tm, wh, hraw, craw)
+    return (out, (hfin, cfin)), (xp_tm, mask_tm, wh, hprev, cprev)
 
 
 def _pallas_rec_bwd(reverse, forget_bias, interpret, prec, res, ct):
-    xp_tm, mask_tm, wh, hraw, craw = res
+    xp_tm, mask_tm, wh, hprev, cprev = res
     dout, (dhfin, dcfin) = ct
     dxp, dwh = _recurrence_pallas_bwd(
-        xp_tm, mask_tm, wh, hraw, craw, dout, dhfin, dcfin,
+        xp_tm, mask_tm, wh, hprev, cprev, dout, dhfin, dcfin,
         reverse=reverse, forget_bias=forget_bias, interpret=interpret,
         prec=prec,
     )
@@ -598,15 +594,15 @@ def pallas_bidir_recurrence(xpf, xpb, mask_tm, whf, whb, forget_bias,
 
 
 def _bidir_fwd(xpf, xpb, mask_tm, whf, whb, forget_bias, interpret, prec):
-    out_f, hraw_f, craw_f, hf, cf = _recurrence_pallas_residual(
+    out_f, hprev_f, cprev_f, hf, cf = _recurrence_pallas_residual(
         xpf, mask_tm, whf, reverse=False, forget_bias=forget_bias,
         interpret=interpret, prec=prec,
     )
-    out_b, hraw_b, craw_b, hb, cb = _recurrence_pallas_residual(
+    out_b, hprev_b, cprev_b, hb, cb = _recurrence_pallas_residual(
         xpb, mask_tm, whb, reverse=True, forget_bias=forget_bias,
         interpret=interpret, prec=prec,
     )
-    res = (xpf, xpb, mask_tm, whf, whb, hraw_f, craw_f, hraw_b, craw_b)
+    res = (xpf, xpb, mask_tm, whf, whb, hprev_f, cprev_f, hprev_b, cprev_b)
     return (out_f, out_b, (hf, cf), (hb, cb)), res
 
 
@@ -618,14 +614,14 @@ def _bidir_bwd(forget_bias, interpret, prec, res, ct):
     # is VMEM-bandwidth-bound, not serial-latency-bound like the forward.
     # Negative result recorded in docs/PERF.md; kept sequential for
     # simplicity.
-    xpf, xpb, mask_tm, whf, whb, hraw_f, craw_f, hraw_b, craw_b = res
+    xpf, xpb, mask_tm, whf, whb, hprev_f, cprev_f, hprev_b, cprev_b = res
     dout_f, dout_b, (dhf, dcf), (dhb, dcb) = ct
     dxpf, dwhf = _recurrence_pallas_bwd(
-        xpf, mask_tm, whf, hraw_f, craw_f, dout_f, dhf, dcf,
+        xpf, mask_tm, whf, hprev_f, cprev_f, dout_f, dhf, dcf,
         reverse=False, forget_bias=forget_bias, interpret=interpret, prec=prec,
     )
     dxpb, dwhb = _recurrence_pallas_bwd(
-        xpb, mask_tm, whb, hraw_b, craw_b, dout_b, dhb, dcb,
+        xpb, mask_tm, whb, hprev_b, cprev_b, dout_b, dhb, dcb,
         reverse=True, forget_bias=forget_bias, interpret=interpret, prec=prec,
     )
     return dxpf, dxpb, jnp.zeros_like(mask_tm), dwhf, dwhb

@@ -83,3 +83,24 @@ def test_pallas_vjp_long_sequence_multiblock():
             np.testing.assert_allclose(
                 np.asarray(b_), np.asarray(a), rtol=5e-4, atol=5e-4
             )
+
+
+def test_pallas_vjp_bf16_mode_close_to_f32():
+    """bf16 recurrent-dot mode now also stores the carried-state residuals
+    in bf16 (ops/lstm.py _make_lstm_fwd_res_kernel); gradients must stay
+    close to the f32 XLA reference (loose tolerance — production mode)."""
+    p, x, lens = _setup()
+
+    def loss(impl, prec):
+        def f(p, x, lens):
+            out, (h, c) = lstm_layer(
+                p, x, lens, implementation=impl, precision=prec
+            )
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape))) + jnp.sum(h * h)
+        return f
+
+    g_ref = jax.grad(loss("xla", None))(p, x, lens)
+    g_bf16 = jax.grad(loss("pallas", "bf16"))(p, x, lens)
+    for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_bf16)):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-6)
+        assert float(jnp.max(jnp.abs(a - b_))) / scale < 3e-2
