@@ -22,6 +22,31 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 
+def merge_window_hypotheses(
+    per_window: Sequence, starts: Sequence[int], overlap: int
+) -> List[int]:
+    """Merge per-window (token_ids, token_times) into one sequence.
+
+    ``per_window[i]`` is ``(ids, times)`` for the window starting at
+    ``starts[i]``; ``times`` are *absolute* sample positions (attention
+    peaks mapped back through the pyramid and frame hop). Each pair of
+    consecutive windows overlaps by ``overlap`` samples; the cut point is
+    the overlap midpoint — window i contributes tokens strictly before it,
+    window i+1 from it on. This reproduces the standard overlapping-window
+    long-form recipe (each token is taken from the window where it sits
+    furthest from a boundary, where the model has full acoustic context).
+    """
+    merged: List[int] = []
+    n = len(per_window)
+    for i, (ids, times) in enumerate(per_window):
+        lo = -np.inf if i == 0 else starts[i] + overlap / 2.0
+        hi = np.inf if i == n - 1 else starts[i + 1] + overlap / 2.0
+        for tok, tm in zip(ids, times):
+            if lo <= tm < hi:
+                merged.append(int(tok))
+    return merged
+
+
 class Transcriber:
     def __init__(
         self,
@@ -161,6 +186,95 @@ class Transcriber:
 
     def transcribe(self, audio: np.ndarray) -> List[str]:
         return self.transcribe_batch([audio])[0]
+
+    def _infer_fn_aligned(self, pad_len: int, batch: int):
+        """Greedy decode that also returns attention alignments (for
+        long-form token timestamps)."""
+        key = ("aligned", pad_len, batch)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        import jax
+
+        from phones_las_tpu.decode import greedy_decode
+        from phones_las_tpu.models.las import encode
+
+        cfg, sp_cfg = self.model_cfg, self.speller_cfg
+        get_sp, max_steps = self._speller, self.max_steps
+
+        @jax.jit
+        def fn(params, audio, lengths):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                memory, _, enc_mask = encode(
+                    params, cfg, audio, lengths, implementation=self.impl
+                )
+                return greedy_decode(
+                    get_sp(params), sp_cfg, memory, enc_mask, max_steps,
+                    return_alignments=True,
+                )
+
+        self._jit_cache[key] = fn
+        return fn
+
+    def transcribe_long(
+        self,
+        audio: np.ndarray,
+        *,
+        window_seconds: float = 20.0,
+        overlap_seconds: float = 2.0,
+    ) -> List[str]:
+        """Transcribe audio of arbitrary length (lectures, meetings —
+        beyond the utterance lengths LAS was trained on) by sliding an
+        overlapping window and stitching the hypotheses.
+
+        The stitch uses token *timestamps* recovered from the attention
+        alignments (peak encoder frame → pyramid stride → front-end hop →
+        sample position): consecutive windows are cut at their overlap
+        midpoint, so every token comes from a window where it has full
+        acoustic context on both sides. Greedy decoding only (beam
+        hypotheses carry no per-token alignment).
+
+        Windows are dispatched in ``max_device_batch`` waves like
+        ``transcribe_batch``, so a one-hour recording runs at batch
+        throughput on one chip.
+        """
+        audio = np.asarray(audio)
+        sr = self._sample_rate
+        win = int(window_seconds * sr)
+        ov = int(overlap_seconds * sr)
+        assert 0 < ov < win, (ov, win)
+        if audio.shape[0] <= win:
+            return self.transcribe(audio)
+        hop = win - ov
+        starts = list(range(0, audio.shape[0] - ov, hop))
+        # absolute samples per encoder frame: front-end hop × pyramid stride
+        frame_samples = (
+            self.model_cfg.frontend.hop_ms / 1000.0 * sr
+        ) * self.model_cfg.listener.time_reduction()
+
+        wave = min(len(starts), self.max_device_batch)
+        dispatched = []
+        for ofs in range(0, len(starts), wave):
+            chunk = starts[ofs : ofs + wave]
+            wav_batch = np.zeros((wave, win), np.float32)
+            wav_lens = np.zeros((wave,), np.int32)
+            for i, s in enumerate(chunk):
+                seg = audio[s : s + win]
+                wav_batch[i, : len(seg)] = seg
+                wav_lens[i] = len(seg)
+            fn = self._infer_fn_aligned(win, wave)
+            dispatched.append((len(chunk), fn(self.params, wav_batch, wav_lens)))
+
+        per_window = []
+        for n, (toks, lens, aligns) in dispatched:  # fetch after dispatch
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            peaks = np.argmax(np.asarray(aligns), axis=-1)  # [B, S]
+            for i in range(n):
+                s0 = starts[len(per_window)]
+                k = int(lens[i])
+                times = s0 + (peaks[i][:k] + 0.5) * frame_samples
+                per_window.append((toks[i][:k], times))
+        ids = merge_window_hypotheses(per_window, starts, ov)
+        return self.vocab.decode(np.asarray(ids, np.int32))
 
     def transcribe_files(self, paths: Sequence[str]) -> List[List[str]]:
         from phones_las_tpu.data.audio_io import read_audio

@@ -45,6 +45,10 @@ def main(argv=None):
     s.add_argument("--graphemes", action="store_true",
                    help="also emit spelled-out grapheme targets + vocab "
                         "(enables multitask presets on the synthetic corpus)")
+    s.add_argument("--max-phones-per-utt", type=int, default=8,
+                   help="upper bound of the per-utterance phone count "
+                        "(longer utterances → longer training audio; used "
+                        "by the long-form transcription tests)")
 
     args = p.parse_args(argv)
     cmvn_utts = getattr(args, "cmvn_utts", 500) or None  # 0 → None → all
@@ -71,15 +75,16 @@ def main(argv=None):
         from phones_las_tpu.data.synthetic import write_synth_corpus
 
         os.makedirs(args.out, exist_ok=True)
+        rng = (3, args.max_phones_per_utt)
         _, vocab = write_synth_corpus(
             os.path.join(args.out, "train.plu"),
             n_utts=args.n_utts, n_phones=args.n_phones,
-            graphemes=args.graphemes,
+            graphemes=args.graphemes, n_phones_range=rng,
         )
         write_synth_corpus(
             os.path.join(args.out, "test.plu"),
             n_utts=max(args.n_utts // 4, 8), n_phones=args.n_phones, seed=1,
-            graphemes=args.graphemes,
+            graphemes=args.graphemes, n_phones_range=rng,
         )
         gvocab = None
         if args.graphemes:

@@ -49,6 +49,17 @@ def main(argv=None):
                    help="'encoder' restores only the listener + CMVN — the "
                         "cross-language transfer recipe (phone sets differ)")
     p.add_argument("--implementation", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--mesh", action="store_true",
+                   help="train data-parallel over all local devices "
+                        "(('data', 'model') mesh, GSPMD gradient psum)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="size of the mesh's 'model' axis (with --mesh)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process training: jax.distributed.initialize "
+                        "(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID or Cloud-TPU autodetection), each "
+                        "process feeding its slice of the epoch plan; "
+                        "implies --mesh over all global devices")
     p.add_argument("--precision", default=None, choices=["highest", "high", "default"],
                    help="model matmul precision override: 'highest' = reference "
                         "fp32 parity (default), 'default' = bf16 production speed")
@@ -70,6 +81,17 @@ def main(argv=None):
     from phones_las_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    shard = None
+    if args.multihost:
+        # must run before any other jax call acquires devices
+        from phones_las_tpu.parallel.multihost import initialize_distributed
+
+        import jax
+
+        initialize_distributed()
+        shard = (jax.process_index(), jax.process_count())
+        args.mesh = True
 
     from phones_las_tpu.cli.common import (
         apply_cmvn_to_params,
@@ -132,11 +154,17 @@ def main(argv=None):
         if meta.get("corpus") == "timit":
             fold = timit_score_fold(vocab, meta.get("output_ipa", True))
 
-    source = DataSource(train_paths, preset.pipeline)
+    source = DataSource(train_paths, preset.pipeline, shard=shard)
     eval_cfg = dataclasses.replace(
         preset.pipeline, shuffle=False, drop_remainder=False
     )
     eval_source = DataSource(eval_paths, eval_cfg) if eval_paths else None
+
+    mesh = None
+    if args.mesh:
+        from phones_las_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=args.model_parallel)
 
     trainer = Trainer(
         preset.model, preset.train, workdir=args.workdir,
@@ -144,6 +172,7 @@ def main(argv=None):
         implementation=args.implementation,
         default_decode_steps=preset.pipeline.max_target_len,
         eval_beam_width=preset.beam_width,  # periodic eval honors the preset
+        mesh=mesh,
     )
     if args.init_checkpoint and int(trainer.state.step) == 0:
         from phones_las_tpu.train.checkpoint import load_params_for_warm_start
@@ -157,6 +186,9 @@ def main(argv=None):
     trainer.state = trainer.state._replace(
         params=apply_cmvn_to_params(trainer.state.params, cmvn)
     )
+    if mesh is not None:
+        # warm start / CMVN injection replaced params host-side; re-shard
+        trainer.shard_state_to_mesh()
 
     writer = None
     try:

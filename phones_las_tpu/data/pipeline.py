@@ -155,7 +155,9 @@ class DataSource:
         paths: Sequence[str],
         cfg: PipelineConfig,
         use_native: str = "auto",  # 'auto' | 'never'
+        shard: Optional[Sequence[int]] = None,  # (process_index, process_count)
     ):
+        self.shard = tuple(shard) if shard is not None else None
         self.readers = [RecordReader(p) for p in paths]
         self.cfg = cfg
         self._index = [
@@ -222,11 +224,18 @@ class DataSource:
         order = np.arange(len(self._index))
         if self.cfg.shuffle:
             np.random.RandomState(self.cfg.seed + epoch).shuffle(order)
-        return plan_batches(
+        plans = plan_batches(
             self._lengths[:, 0], order, self.cfg,
             target_lengths=self._lengths[:, 1],
             grapheme_lengths=self._lengths[:, 2],
         )
+        if self.shard is not None:
+            # multi-host: every process computes the identical plan from
+            # the shared seed and takes a disjoint, equal-length stride
+            from phones_las_tpu.parallel.multihost import shard_plan
+
+            plans = shard_plan(plans, *self.shard)
+        return plans
 
     def epoch(self, epoch: int = 0, prefetch: int = 4) -> Iterator[Dict]:
         """One pass over the data as batches, prefetched on a thread."""

@@ -70,6 +70,7 @@ def write_synth_corpus(
     seed: int = 0,
     vocab_path: Optional[str] = None,
     graphemes: bool = False,
+    n_phones_range: Tuple[int, int] = (3, 8),
 ) -> Tuple[str, Vocab]:
     vocab = Vocab(synth_phone_inventory(n_phones))
     gvocab = Vocab(synth_grapheme_inventory()) if graphemes else None
@@ -77,6 +78,7 @@ def write_synth_corpus(
     with RecordWriter(path, meta={"corpus": "synthetic", "sample_rate": 16000}) as w:
         for i in range(n_utts):
             w.write(synth_utterance(rng, vocab, f"synth-{i:04d}",
+                                    n_phones_range=n_phones_range,
                                     grapheme_vocab=gvocab))
     if vocab_path:
         vocab.save(vocab_path)

@@ -18,3 +18,7 @@ from phones_las_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     param_sharding_rules,
 )
+from phones_las_tpu.parallel.multihost import (  # noqa: F401
+    initialize_distributed,
+    shard_batch_global,
+)

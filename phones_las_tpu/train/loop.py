@@ -55,7 +55,9 @@ class Trainer:
         default_decode_steps: int = 100,
         eval_beam_width: int = 0,
         decode_cap_ratio: float = 1.0,
+        mesh=None,
     ):
+        self.mesh = mesh
         self.default_decode_steps = default_decode_steps
         self.eval_beam_width = eval_beam_width
         self.decode_cap_ratio = decode_cap_ratio
@@ -81,6 +83,8 @@ class Trainer:
             )
             if self.ckpt.latest_step() is not None:
                 self.state, self.start_epoch = self.ckpt.restore(self.state)
+        if mesh is not None:
+            self.shard_state_to_mesh()
 
         cfg = model_cfg
         impl = implementation
@@ -155,6 +159,52 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step, static_argnames=("max_steps",))
 
+    def shard_state_to_mesh(self) -> None:
+        """(Re)apply mesh shardings to the train state.
+
+        Mesh-parallel training (DP over 'data', optional TP over 'model'):
+        shard params by the partition rules, replicate the scalars, and
+        let the jitted optimizer-init propagate the param shardings onto
+        Adam's mu/nu (the GSPMD way — no per-optimizer spec trees).
+        Batches are sharded in ``_device_batch``; gradient psum over
+        'data' is inserted by GSPMD because the loss averages over the
+        global batch (the mechanism ``__graft_entry__.dryrun_multichip``
+        proves numerically equivalent to the unsharded step). Call again
+        after replacing params host-side (warm start, CMVN injection)."""
+        assert self.mesh is not None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from phones_las_tpu.parallel import shard_params
+
+        params = shard_params(self.state.params, self.mesh)
+        # template init under jit propagates the param shardings onto the
+        # optimizer leaves; device_put the *existing* values (possibly a
+        # restored checkpoint's Adam moments — do not re-init them) onto
+        # those shardings. Leaves with no input dependence (step counters)
+        # come out single-device — replicate those over the mesh.
+        rep = NamedSharding(self.mesh, P())
+        mesh_devices = set(self.mesh.devices.flat)
+        template = jax.jit(self.tx.init)(params)
+
+        def put(t, x):
+            s = t.sharding if set(t.sharding.device_set) == mesh_devices else rep
+            return jax.device_put(jnp.asarray(x), s)
+
+        opt_state = jax.tree.map(put, template, self.state.opt_state)
+        self.state = TrainState(
+            jax.device_put(self.state.step, rep),
+            params,
+            opt_state,
+            jax.device_put(self.state.rng, rep),
+        )
+
+    def _device_batch(self, batch: Dict) -> Dict:
+        if self.mesh is not None:
+            from phones_las_tpu.parallel.multihost import shard_batch_global
+
+            return shard_batch_global(batch, self.mesh)
+        return device_batch(batch)
+
     # ------------------------------------------------------------------
     def fit(
         self,
@@ -211,7 +261,7 @@ class Trainer:
             # step N executes, hiding H2D latency behind compute
             prev = None
             for b in it:
-                db = device_batch(b)
+                db = self._device_batch(b)
                 if prev is not None:
                     yield prev
                 prev = (b, db)
@@ -312,7 +362,7 @@ class Trainer:
         losses = []
         for batch in batches:
             toks, lens, loss = step_fn(
-                self.state.params, device_batch(batch), beam_width,
+                self.state.params, self._device_batch(batch), beam_width,
                 max_steps or self.decode_cap(batch),
             )
             losses.append(float(loss))
@@ -343,7 +393,9 @@ class Trainer:
         first_image = None
         for batch in batches:
             steps_cap = max_steps or self.decode_cap(batch)
-            out = self._eval_step(self.state.params, device_batch(batch), steps_cap)
+            out = self._eval_step(
+                self.state.params, self._device_batch(batch), steps_cap
+            )
             losses.append(float(out["loss"]))
             if first_image is None and batch.get("num_real", 1) > 0:
                 # the reference's diagonal-alignment diagnostic image

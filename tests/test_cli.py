@@ -28,3 +28,40 @@ def test_cli_roundtrip(tmp_path, capsys):
     import glob
 
     assert glob.glob(os.path.join(aligns_dir, "*.png"))
+
+
+def test_transcribe_cli(tmp_path, capsys):
+    import numpy as np
+
+    from phones_las_tpu.cli import transcribe as transcribe_cli
+    from phones_las_tpu.data.audio_io import write_wav
+
+    data = str(tmp_path / "data")
+    wd = str(tmp_path / "run")
+    prepare_cli.main(["synthetic", "--out", data, "--n-utts", "12", "--n-phones", "5"])
+    train_cli.main([
+        "--preset", "timit_phone_las", "--data", data, "--workdir", wd,
+        "--num-steps", "2", "--batch-size", "4",
+    ])
+
+    rs = np.random.RandomState(0)
+    wavs = []
+    for i, n in enumerate((9000, 12000)):
+        p = str(tmp_path / f"clip{i}.wav")
+        write_wav(p, (rs.randn(n) * 2000).astype(np.int16))
+        wavs.append(p)
+
+    transcribe_cli.main(["--workdir", wd] + wavs)
+    out = capsys.readouterr().out
+    assert all(w in out for w in wavs) and out.count("\t") == 2
+
+    # long-form path on a >window clip
+    long_wav = str(tmp_path / "long.wav")
+    write_wav(long_wav, (rs.randn(40000) * 2000).astype(np.int16))
+    out_tsv = str(tmp_path / "hyp.tsv")
+    transcribe_cli.main([
+        "--workdir", wd, "--long-form", "--window-seconds", "1.5",
+        "--overlap-seconds", "0.5", "--output", out_tsv, long_wav,
+    ])
+    line = open(out_tsv).read().strip()
+    assert line.startswith(long_wav + "\t")
