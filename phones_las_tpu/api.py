@@ -188,18 +188,19 @@ class Transcriber:
         return self.transcribe_batch([audio])[0]
 
     def _infer_fn_aligned(self, pad_len: int, batch: int):
-        """Greedy decode that also returns attention alignments (for
-        long-form token timestamps)."""
+        """Decode (greedy, or beam when configured) that also returns
+        per-token attention-peak encoder frames (long-form timestamps)."""
         key = ("aligned", pad_len, batch)
         if key in self._jit_cache:
             return self._jit_cache[key]
         import jax
+        import jax.numpy as jnp
 
-        from phones_las_tpu.decode import greedy_decode
+        from phones_las_tpu.decode import beam_decode, greedy_decode
         from phones_las_tpu.models.las import encode
 
-        cfg, sp_cfg = self.model_cfg, self.speller_cfg
-        get_sp, max_steps = self._speller, self.max_steps
+        cfg, sp_cfg, beam = self.model_cfg, self.speller_cfg, self.beam
+        get_sp, max_steps, lp = self._speller, self.max_steps, self.length_penalty
 
         @jax.jit
         def fn(params, audio, lengths):
@@ -207,10 +208,17 @@ class Transcriber:
                 memory, _, enc_mask = encode(
                     params, cfg, audio, lengths, implementation=self.impl
                 )
-                return greedy_decode(
+                if beam:
+                    res = beam_decode(
+                        get_sp(params), sp_cfg, memory, enc_mask, max_steps,
+                        beam_width=beam, length_penalty=lp,
+                    )
+                    return res.tokens, res.lengths, res.peaks
+                toks, lens, aligns = greedy_decode(
                     get_sp(params), sp_cfg, memory, enc_mask, max_steps,
                     return_alignments=True,
                 )
+                return toks, lens, jnp.argmax(aligns, axis=-1).astype(jnp.int32)
 
         self._jit_cache[key] = fn
         return fn
@@ -230,8 +238,9 @@ class Transcriber:
         alignments (peak encoder frame → pyramid stride → front-end hop →
         sample position): consecutive windows are cut at their overlap
         midpoint, so every token comes from a window where it has full
-        acoustic context on both sides. Greedy decoding only (beam
-        hypotheses carry no per-token alignment).
+        acoustic context on both sides. Works with greedy and beam
+        decoding (beam peaks are backtraced along the winning beam path,
+        ``decode.beam.BeamResult.peaks``).
 
         Windows are dispatched in ``max_device_batch`` waves like
         ``transcribe_batch``, so a one-hour recording runs at batch
@@ -265,9 +274,9 @@ class Transcriber:
             dispatched.append((len(chunk), fn(self.params, wav_batch, wav_lens)))
 
         per_window = []
-        for n, (toks, lens, aligns) in dispatched:  # fetch after dispatch
+        for n, (toks, lens, peaks) in dispatched:  # fetch after dispatch
             toks, lens = np.asarray(toks), np.asarray(lens)
-            peaks = np.argmax(np.asarray(aligns), axis=-1)  # [B, S]
+            peaks = np.asarray(peaks)  # [B, S] attention-peak enc frames
             for i in range(n):
                 s0 = starts[len(per_window)]
                 k = int(lens[i])

@@ -28,7 +28,7 @@ def main(argv=None):
     p.add_argument("--head", default="phone", choices=["phone", "grapheme"])
     p.add_argument("--long-form", action="store_true",
                    help="sliding-window transcription for recordings longer "
-                        "than an utterance (greedy only)")
+                        "than an utterance")
     p.add_argument("--window-seconds", type=float, default=20.0)
     p.add_argument("--overlap-seconds", type=float, default=2.0)
     p.add_argument("--output", default=None, help="write TSV here instead of stdout")

@@ -54,6 +54,9 @@ class BeamResult(NamedTuple):
     beam_tokens: jnp.ndarray  # [B, K, max_steps]
     beam_lengths: jnp.ndarray  # [B, K]
     beam_scores: jnp.ndarray  # [B, K]
+    # best beam's per-token attention-peak encoder frame (token
+    # timestamps — long-form stitching); backtraced like the tokens
+    peaks: jnp.ndarray = None  # [B, max_steps] int32
 
 
 def _length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
@@ -93,9 +96,10 @@ def beam_decode(
     def step(state, _):
         carry, logp, finished, lengths, prev = state
         emb = embed_tokens(params, cfg, prev)  # [B, K, E]
-        carry, logits, _ = speller_step(
+        carry, logits, extras = speller_step(
             params, cfg, carry, emb, keys, memory, enc_mask
         )
+        peak = jnp.argmax(extras["probs"], axis=-1).astype(jnp.int32)  # [B, K]
         step_logp = jax.nn.log_softmax(logits, axis=-1)  # [B, K, V]
         step_logp = jnp.where(finished[..., None], eos_row, step_logp)
 
@@ -113,23 +117,30 @@ def beam_decode(
         parent_len = jnp.take_along_axis(lengths, parent, axis=1)
         new_fin = parent_fin | (tok == cfg.eos_id)
         new_len = parent_len + jnp.where(new_fin, 0, 1)
-        return (carry, new_logp, new_fin, new_len, tok), (tok, parent)
+        # the step's attention peak belongs to the *parent* beam's step
+        step_peak = jnp.take_along_axis(peak, parent, axis=1)
+        return (carry, new_logp, new_fin, new_len, tok), (tok, parent, step_peak)
 
     state0 = (carry0, logp0, fin0, len0, prev0)
-    (_, logp, finished, lengths, _), (toks_s, parents_s) = jax.lax.scan(
+    (_, logp, finished, lengths, _), (toks_s, parents_s, peaks_s) = jax.lax.scan(
         step, state0, None, length=max_steps
     )
 
-    # backtrace: rebuild [B, K, S] token histories from per-step
-    # (token, parent) pairs — S tiny [B, K] gathers, outside the hot loop
+    # backtrace: rebuild [B, K, S] token histories (and attention peaks)
+    # from per-step (token, parent) pairs — S tiny [B, K] gathers,
+    # outside the hot loop
     def btrace(idx, xs):
-        tok, parent = xs
+        tok, parent, pk = xs
         out = jnp.take_along_axis(tok, idx, axis=1)
-        return jnp.take_along_axis(parent, idx, axis=1), out
+        out_pk = jnp.take_along_axis(pk, idx, axis=1)
+        return jnp.take_along_axis(parent, idx, axis=1), (out, out_pk)
 
     idx0 = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :], (b, k))
-    _, rebuilt = jax.lax.scan(btrace, idx0, (toks_s, parents_s), reverse=True)
+    _, (rebuilt, rebuilt_pk) = jax.lax.scan(
+        btrace, idx0, (toks_s, parents_s, peaks_s), reverse=True
+    )
     tokens = jnp.transpose(rebuilt, (1, 2, 0))  # [B, K, S]
+    peaks = jnp.transpose(rebuilt_pk, (1, 2, 0))  # [B, K, S]
 
     scores = logp / _length_penalty(lengths, length_penalty)
     any_fin = jnp.any(finished, axis=1, keepdims=True)
@@ -145,4 +156,5 @@ def beam_decode(
         beam_tokens=tokens,
         beam_lengths=lengths,
         beam_scores=scores,
+        peaks=take(peaks),
     )

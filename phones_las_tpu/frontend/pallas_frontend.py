@@ -144,7 +144,7 @@ def fused_logmel(
                 F.mxu_precision(cfg)),
         grid=(n_groups, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # signal stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # signal stays in HBM
             pl.BlockSpec((win, 2 * n_bins), lambda bg, ti: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_bins, cfg.num_mel), lambda bg, ti: (0, 0),

@@ -75,6 +75,14 @@ def test_long_form_end_to_end(tmp_path):
     per = _per(hyp, ref)
     assert per <= 0.25, f"long-form PER {per:.3f}\nhyp={hyp}\nref={ref}"
 
+    # beam-mode long form: peaks backtraced along the winning beam path
+    tb = Transcriber(wd, beam_width=4)
+    hyp_b = tb.transcribe_long(
+        utt.audio, window_seconds=1.5, overlap_seconds=0.6
+    )
+    per_b = _per(hyp_b, ref)
+    assert per_b <= 0.25, f"beam long-form PER {per_b:.3f}"
+
     # short input falls through to the single-utterance path
     short = utt.audio[:8000]
     assert t.transcribe_long(short) == t.transcribe(short)

@@ -134,10 +134,16 @@ def test_beam_matches_oracle():
 def test_beam_width1_equals_greedy():
     cfg, params = _tiny_speller()
     mem, mask = _memory()
-    g_toks, g_lens, _ = greedy_decode(params, cfg, mem, mask, max_steps=6)
+    g_toks, g_lens, g_aligns = greedy_decode(
+        params, cfg, mem, mask, max_steps=6, return_alignments=True
+    )
     b_res = beam_decode(params, cfg, mem, mask, max_steps=6, beam_width=1)
     np.testing.assert_array_equal(np.asarray(g_toks), np.asarray(b_res.tokens))
     np.testing.assert_array_equal(np.asarray(g_lens), np.asarray(b_res.lengths))
+    # backtraced beam attention peaks == greedy alignment argmax
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(g_aligns, axis=-1)), np.asarray(b_res.peaks)
+    )
 
 
 def _batch(b=2, s=1600, st=4):
