@@ -187,10 +187,10 @@ class Transcriber:
     def transcribe(self, audio: np.ndarray) -> List[str]:
         return self.transcribe_batch([audio])[0]
 
-    def _infer_fn_aligned(self, pad_len: int, batch: int):
+    def _infer_fn_aligned(self, pad_len: int, batch: int, max_steps: int):
         """Decode (greedy, or beam when configured) that also returns
         per-token attention-peak encoder frames (long-form timestamps)."""
-        key = ("aligned", pad_len, batch)
+        key = ("aligned", pad_len, batch, max_steps)
         if key in self._jit_cache:
             return self._jit_cache[key]
         import jax
@@ -200,7 +200,7 @@ class Transcriber:
         from phones_las_tpu.models.las import encode
 
         cfg, sp_cfg, beam = self.model_cfg, self.speller_cfg, self.beam
-        get_sp, max_steps, lp = self._speller, self.max_steps, self.length_penalty
+        get_sp, lp = self._speller, self.length_penalty
 
         @jax.jit
         def fn(params, audio, lengths):
@@ -229,6 +229,7 @@ class Transcriber:
         *,
         window_seconds: float = 20.0,
         overlap_seconds: float = 2.0,
+        max_tokens_per_second: float = 25.0,
     ) -> List[str]:
         """Transcribe audio of arbitrary length (lectures, meetings —
         beyond the utterance lengths LAS was trained on) by sliding an
@@ -244,7 +245,11 @@ class Transcriber:
 
         Windows are dispatched in ``max_device_batch`` waves like
         ``transcribe_batch``, so a one-hour recording runs at batch
-        throughput on one chip.
+        throughput on one chip. The per-window decode cap scales with the
+        window (``window_seconds × max_tokens_per_second``, clipped to
+        the encoder frame count) instead of the training preset's static
+        target cap — a 20 s window must be allowed more tokens than one
+        training utterance.
         """
         audio = np.asarray(audio)
         sr = self._sample_rate
@@ -259,6 +264,10 @@ class Transcriber:
         frame_samples = (
             self.model_cfg.frontend.hop_ms / 1000.0 * sr
         ) * self.model_cfg.listener.time_reduction()
+        enc_frames = max(1, int(win / frame_samples))
+        steps_cap = max(
+            16, min(enc_frames, int(window_seconds * max_tokens_per_second))
+        )
 
         wave = min(len(starts), self.max_device_batch)
         dispatched = []
@@ -270,7 +279,7 @@ class Transcriber:
                 seg = audio[s : s + win]
                 wav_batch[i, : len(seg)] = seg
                 wav_lens[i] = len(seg)
-            fn = self._infer_fn_aligned(win, wave)
+            fn = self._infer_fn_aligned(win, wave, steps_cap)
             dispatched.append((len(chunk), fn(self.params, wav_batch, wav_lens)))
 
         per_window = []

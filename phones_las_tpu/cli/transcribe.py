@@ -31,6 +31,8 @@ def main(argv=None):
                         "than an utterance")
     p.add_argument("--window-seconds", type=float, default=20.0)
     p.add_argument("--overlap-seconds", type=float, default=2.0)
+    p.add_argument("--max-tokens-per-second", type=float, default=25.0,
+                   help="long-form per-window decode cap = window × this")
     p.add_argument("--output", default=None, help="write TSV here instead of stdout")
     p.add_argument("--implementation", default="auto",
                    choices=["auto", "xla", "pallas"])
@@ -57,6 +59,7 @@ def main(argv=None):
             results.append(t.transcribe_long(
                 np.asarray(pcm), window_seconds=args.window_seconds,
                 overlap_seconds=args.overlap_seconds,
+                max_tokens_per_second=args.max_tokens_per_second,
             ))
     else:
         results = t.transcribe_files(args.files)

@@ -148,3 +148,14 @@ def test_train_cli_mesh_flag(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "'tag': 'train'" in out and "final eval" in out
+
+    # a mesh-trained checkpoint restores into the plain (unsharded) infer
+    # path — the real user flow: train --mesh, infer anywhere
+    import os
+
+    from phones_las_tpu.cli import infer as infer_cli
+
+    infer_cli.main(["--workdir", wd, "--data", os.path.join(data, "test.plu"),
+                    "--batch-size", "8"])
+    out = capsys.readouterr().out
+    assert "PER=" in out
