@@ -167,10 +167,17 @@ class Transcriber:
         lens = np.asarray([a.shape[0] for a in audio], np.int32)
         pad = ((int(lens.max()) + pad_quantum - 1) // pad_quantum) * pad_quantum
         wave = min(b, self.max_device_batch)
+        # ship int16 when the input is int16 (half the host→device bytes;
+        # the device front-end consumes raw PCM values either way)
+        dt = (
+            np.int16
+            if all(np.asarray(a).dtype == np.int16 for a in audio)
+            else np.float32
+        )
         results = []
         for ofs in range(0, b, wave):
             n = min(wave, b - ofs)
-            wav_batch = np.zeros((wave, pad), np.float32)
+            wav_batch = np.zeros((wave, pad), dt)
             for i in range(n):
                 a = audio[ofs + i]
                 wav_batch[i, : len(a)] = a
@@ -270,10 +277,11 @@ class Transcriber:
         )
 
         wave = min(len(starts), self.max_device_batch)
+        dt = np.int16 if audio.dtype == np.int16 else np.float32
         dispatched = []
         for ofs in range(0, len(starts), wave):
             chunk = starts[ofs : ofs + wave]
-            wav_batch = np.zeros((wave, win), np.float32)
+            wav_batch = np.zeros((wave, win), dt)
             wav_lens = np.zeros((wave,), np.int32)
             for i, s in enumerate(chunk):
                 seg = audio[s : s + win]
