@@ -123,13 +123,33 @@ def batch_specs(batch_keys) -> dict:
     return {k: _BATCH_SPECS[k] for k in batch_keys if k in _BATCH_SPECS}
 
 
+def _compatible_spec(x, spec: P, mesh: Mesh) -> P:
+    """Drop axis names from a PartitionSpec on dims the array can't split
+    evenly (e.g. an odd vocab over model=2): those dims fall back to
+    replication instead of erroring. Arbitrary vocab/feature sizes must
+    not dictate the mesh shape."""
+    out = []
+    for i, axis in enumerate(spec):
+        if axis is None:
+            out.append(None)
+            continue
+        size = mesh.shape[axis]
+        out.append(axis if x.shape[i] % size == 0 else None)
+    return P(*out)
+
+
 def shard_params(params: LASParams, mesh: Mesh) -> LASParams:
     specs = param_sharding_rules(params)
+
+    def put(x, s):
+        if x is None:
+            return None
+        return jax.device_put(
+            x, NamedSharding(mesh, _compatible_spec(x, s, mesh))
+        )
+
     return jax.tree.map(
-        lambda x, s: None if x is None else jax.device_put(x, NamedSharding(mesh, s)),
-        params,
-        specs,
-        is_leaf=lambda x: x is None,
+        put, params, specs, is_leaf=lambda x: x is None,
     )
 
 

@@ -159,3 +159,50 @@ def test_train_cli_mesh_flag(tmp_path, capsys):
                     "--batch-size", "8"])
     out = capsys.readouterr().out
     assert "PER=" in out
+
+
+def test_mesh_trainer_multitask_binf(tmp_path):
+    """Multitask + binf param trees shard correctly: grapheme speller and
+    binf head leaves carry specs too (parallel/mesh.py) — one sharded
+    step must match the unsharded one."""
+    import jax.numpy as jnp
+
+    from phones_las_tpu.data.synthetic import (
+        synth_grapheme_inventory, write_synth_corpus,
+    )
+    from phones_las_tpu.data.vocab import Vocab
+    import dataclasses
+
+    path, vocab = write_synth_corpus(
+        str(tmp_path / "train.plu"), n_utts=16, n_phones=6, graphemes=True
+    )
+    gvocab = Vocab(synth_grapheme_inventory())
+    codes = np.random.RandomState(0).randint(0, 2, (len(vocab), 6)).astype(np.float32)
+    base = _tiny_cfg(len(vocab))
+    cfg = dataclasses.replace(
+        base,
+        speller=dataclasses.replace(base.speller, binf_mode="head", num_binf=6),
+        grapheme_speller=dataclasses.replace(
+            base.speller, vocab_size=len(gvocab),
+        ),
+        multitask_weight=0.5,
+        binf_weight=1.0,
+    )
+    pipe = dataclasses.replace(_pipe(vocab), max_grapheme_len=24)
+    tc = TrainConfig(num_steps=2, log_every=10**9, eval_every=10**9,
+                     checkpoint_every=10**9)
+
+    def run(mesh):
+        tr = Trainer(cfg, tc, implementation="xla", mesh=mesh,
+                     binf_codes=codes)
+        losses = []
+        for batch in DataSource([path], pipe).repeat():
+            if int(tr.state.step) >= tc.num_steps:
+                break
+            tr.state, out = tr._train_step(tr.state, tr._device_batch(batch))
+            losses.append(float(out["loss"]))
+        return losses
+
+    l_mesh = run(make_mesh(data=4, model=2))
+    l_ref = run(None)
+    np.testing.assert_allclose(l_mesh, l_ref, rtol=1e-5, atol=1e-5)
