@@ -66,11 +66,16 @@ class BatchingWorker:
         self._stop = True
 
     def _drain(self) -> List[_Pending]:
+        import time
+
         batch = [self.q.get()]  # block for the first request
-        deadline = self.wait_s
+        deadline = time.monotonic() + self.wait_s
         try:
             while len(batch) < self.max_batch:
-                batch.append(self.q.get(timeout=deadline))
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                batch.append(self.q.get(timeout=remaining))
         except queue.Empty:
             pass
         return batch
@@ -82,7 +87,14 @@ class BatchingWorker:
             except Exception:
                 continue
             try:
-                results = self.t.transcribe_batch([p.pcm for p in batch])
+                # pad to a fixed batch size so one compiled program (per
+                # pad quantum) serves all traffic — otherwise every
+                # distinct request count would trigger an XLA compile
+                pcms = [p.pcm for p in batch]
+                pad_rows = self.max_batch - len(pcms)
+                if pad_rows > 0:
+                    pcms += [np.zeros(1600, np.int16)] * pad_rows
+                results = self.t.transcribe_batch(pcms)
                 for p, r in zip(batch, results):
                     p.result = r
             except Exception as e:  # answer the whole batch with the error
@@ -126,15 +138,24 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if not self.path.startswith("/transcribe"):
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path != "/transcribe":
                 return self._json(404, {"error": "not found"})
+            qs = parse_qs(url.query)
             n = int(self.headers.get("Content-Length", 0))
             if n <= 0:
                 return self._json(400, {"error": "empty body"})
             data = self.rfile.read(n)
             try:
-                if "raw=1" in self.path:
+                if qs.get("raw", ["0"])[-1] == "1":
                     pcm = np.frombuffer(data, np.int16)
+                    rate = int(qs.get("rate", [sample_rate])[-1])
+                    if rate != sample_rate:
+                        from phones_las_tpu.data.audio_io import resample
+
+                        pcm = resample(pcm, rate, sample_rate)
                 else:
                     # the native decoders dispatch on file content
                     with tempfile.NamedTemporaryFile(suffix=".bin") as f:
@@ -181,8 +202,10 @@ def main(argv=None):
         args.workdir, beam_width=args.beam_width, head=args.head,
         implementation=args.implementation,
     )
-    # compile the common program up front so the first request is fast
-    t.transcribe(np.zeros(args.max_batch * 0 + 16000, np.int16))
+    # compile the program the worker actually dispatches (a full
+    # max_batch micro-batch at the smallest pad quantum) so the first
+    # real request doesn't pay the XLA compile
+    t.transcribe_batch([np.zeros(16000, np.int16)] * args.max_batch)
     server, _ = make_server(
         t, args.host, args.port, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, head=args.head,

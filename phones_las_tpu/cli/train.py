@@ -158,7 +158,11 @@ def main(argv=None):
     eval_cfg = dataclasses.replace(
         preset.pipeline, shuffle=False, drop_remainder=False
     )
-    eval_source = DataSource(eval_paths, eval_cfg) if eval_paths else None
+    # multi-host: each process evaluates its own slice locally and the
+    # metrics are summed across processes (Trainer._allreduce_metrics)
+    eval_source = (
+        DataSource(eval_paths, eval_cfg, shard=shard) if eval_paths else None
+    )
 
     mesh = None
     if args.mesh:

@@ -96,11 +96,24 @@ def shard_batch_global(batch: Dict, mesh) -> Dict:
 
 
 def shard_plan(plans: list, index: int, count: int) -> list:
-    """Deterministic per-process slice of an epoch's batch plan: truncate
-    to a multiple of ``count`` (every process must run the same number of
-    collective-bearing steps) and stride. All processes compute the same
-    full plan from the shared shuffle seed, so no coordination is
-    needed."""
+    """Deterministic per-process slice of an epoch's batch plan.
+
+    At every global step all processes MUST execute the same bucket
+    shape — they assemble one global array and enter one compiled SPMD
+    program together — so the stride runs *within* each bucket group
+    (each truncated to a multiple of ``count``), and groups are emitted
+    in a canonical (bucket-index) order. A naive stride over the mixed
+    plan would put, say, a 2 s bucket on process 0 and an 8 s bucket on
+    process 1 at the same step → shape mismatch → distributed hang. All
+    processes compute the identical full plan from the shared shuffle
+    seed, so no coordination is needed."""
     assert 0 <= index < count, (index, count)
-    usable = len(plans) - len(plans) % count
-    return plans[index:usable:count]
+    by_bucket: dict = {}
+    for plan in plans:
+        by_bucket.setdefault(plan[0], []).append(plan)
+    out = []
+    for bucket in sorted(by_bucket):
+        group = by_bucket[bucket]
+        usable = len(group) - len(group) % count
+        out.extend(group[index:usable:count])
+    return out

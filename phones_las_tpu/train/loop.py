@@ -205,6 +205,42 @@ class Trainer:
             return shard_batch_global(batch, self.mesh)
         return device_batch(batch)
 
+    # -- multi-host eval: decode outputs of a cross-process array are not
+    # host-fetchable, so each process evaluates its own shard of the eval
+    # set locally (params are fully replicated on pure-DP meshes) and the
+    # scalar metrics are summed across processes at the end.
+    def _multihost(self) -> bool:
+        return self.mesh is not None and jax.process_count() > 1
+
+    def _eval_params(self):
+        if not self._multihost():
+            return self.state.params
+
+        def fetch(x):
+            if x is None:
+                return None
+            assert getattr(x, "is_fully_replicated", True), (
+                "multi-host eval needs fully-replicated params; keep the "
+                "'model' mesh axis within one process"
+            )
+            return np.asarray(x)
+
+        return jax.tree.map(fetch, self.state.params,
+                            is_leaf=lambda x: x is None)
+
+    def _eval_device_batch(self, batch: Dict) -> Dict:
+        # multi-host: local (per-process) batches; otherwise mesh-sharded
+        return device_batch(batch) if self._multihost() else self._device_batch(batch)
+
+    def _allreduce_metrics(self, values) -> np.ndarray:
+        """Sum a small host-side metric vector across processes."""
+        vec = np.asarray(values, np.float64)
+        if not self._multihost():
+            return vec
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(vec)).sum(axis=0)
+
     # ------------------------------------------------------------------
     def fit(
         self,
@@ -331,7 +367,13 @@ class Trainer:
             return self._evaluate_beam(batches, max_steps, beam_width)
         return self._evaluate_greedy(batches, max_steps, writer, step)
 
-    def _evaluate_beam(self, batches, max_steps, beam_width) -> Dict:
+    def _beam_eval_fn(self):
+        # built once and cached: jax's jit cache is keyed on function
+        # identity, so a fresh closure per evaluate() would retrace (and
+        # cold-recompile) the encode+loss+beam program at every periodic
+        # eval.
+        if getattr(self, "_beam_eval_jit", None) is not None:
+            return self._beam_eval_jit
         import functools
 
         from phones_las_tpu.decode import beam_decode
@@ -358,11 +400,17 @@ class Trainer:
                 )
                 return res.tokens, res.lengths, aux["loss"]
 
+        self._beam_eval_jit = step_fn
+        return step_fn
+
+    def _evaluate_beam(self, batches, max_steps, beam_width) -> Dict:
+        step_fn = self._beam_eval_fn()
+        eval_params = self._eval_params()
         dist = tokens = 0
         losses = []
         for batch in batches:
             toks, lens, loss = step_fn(
-                self.state.params, self._device_batch(batch), beam_width,
+                eval_params, self._eval_device_batch(batch), beam_width,
                 max_steps or self.decode_cap(batch),
             )
             losses.append(float(loss))
@@ -374,10 +422,13 @@ class Trainer:
             )
             dist += d
             tokens += t
+        dist, tokens, loss_sum, loss_n = self._allreduce_metrics(
+            [dist, tokens, float(np.sum(losses)) if losses else 0.0, len(losses)]
+        )
         return {
-            "loss": float(np.mean(losses)) if losses else float("nan"),
-            "per": M.per_from_stats(dist, tokens),
-            "ref_tokens": tokens,
+            "loss": float(loss_sum / loss_n) if loss_n else float("nan"),
+            "per": M.per_from_stats(int(dist), int(tokens)),
+            "ref_tokens": int(tokens),
         }
 
     def _evaluate_greedy(
@@ -391,10 +442,11 @@ class Trainer:
         g_dist = g_tokens = 0
         losses = []
         first_image = None
+        eval_params = self._eval_params()
         for batch in batches:
             steps_cap = max_steps or self.decode_cap(batch)
             out = self._eval_step(
-                self.state.params, self._device_batch(batch), steps_cap
+                eval_params, self._eval_device_batch(batch), steps_cap
             )
             losses.append(float(out["loss"]))
             if first_image is None and batch.get("num_real", 1) > 0:
@@ -429,14 +481,20 @@ class Trainer:
                 step if step is not None else int(self.state.step),
                 {"attention_alignment": first_image[None]},
             )
+        dist, tokens, g_dist, g_tokens, loss_sum, loss_n = (
+            self._allreduce_metrics([
+                dist, tokens, g_dist, g_tokens,
+                float(np.sum(losses)) if losses else 0.0, len(losses),
+            ])
+        )
         res = {
-            "loss": float(np.mean(losses)) if losses else float("nan"),
-            "per": M.per_from_stats(dist, tokens),
-            "ref_tokens": tokens,
+            "loss": float(loss_sum / loss_n) if loss_n else float("nan"),
+            "per": M.per_from_stats(int(dist), int(tokens)),
+            "ref_tokens": int(tokens),
         }
         if g_tokens:
-            res["cer"] = M.per_from_stats(g_dist, g_tokens)
-            res["grapheme_ref_tokens"] = g_tokens
+            res["cer"] = M.per_from_stats(int(g_dist), int(g_tokens))
+            res["grapheme_ref_tokens"] = int(g_tokens)
         return res
 
     def decode_cap(self, batch: Dict) -> int:

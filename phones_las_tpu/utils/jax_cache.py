@@ -13,6 +13,14 @@ import os
 def enable_compilation_cache(path: str = "~/.cache/phones_las_tpu/xla") -> None:
     import jax
 
+    if jax.default_backend() != "tpu":
+        # CPU compiles are fast, and sharing the cache dir across machines
+        # poisons the CPU path: cache entries hold XLA:CPU AOT results
+        # compiled elsewhere (cpu_aot_loader feature-mismatch errors), and
+        # the axon plugin flips jax_platforms to 'axon' while handling the
+        # failed load — observed switching a forced-CPU test process onto
+        # the TPU mid-run. TPU-only caching avoids both.
+        return
     cache_dir = os.path.expanduser(path)
     os.makedirs(cache_dir, exist_ok=True)
     try:

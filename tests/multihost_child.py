@@ -1,11 +1,13 @@
 """Child process for the multi-host simulation test (run via subprocess).
 
 Each process: initialize the multi-controller runtime over localhost,
-build the global mesh, feed its OWN slice of the epoch plan, run jitted
-train steps on globally-sharded batches, and print per-step losses.
-Both processes must print identical, finite losses — the global batch
-is assembled from per-process halves and the gradient psum spans both
-processes' devices.
+then drive the REAL Trainer — mesh spanning both processes' devices,
+per-process slice of a MIXED-BUCKET epoch plan (the bucket-aligned
+stride in ``shard_plan`` is what keeps both processes in the same
+compiled program at every step), and the multi-host eval leg (local
+per-process decode, metrics summed across processes). Both processes
+must print identical train losses and identical aggregated eval
+metrics.
 
 Usage: python multihost_child.py <coordinator> <num_procs> <pid> <data.plu>
 """
@@ -21,10 +23,7 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")  # before distributed init
 
-    from phones_las_tpu.parallel.multihost import (
-        initialize_distributed,
-        shard_batch_global,
-    )
+    from phones_las_tpu.parallel.multihost import initialize_distributed
 
     assert initialize_distributed(coord, n_procs, pid)
     assert jax.process_count() == n_procs, jax.process_count()
@@ -33,11 +32,9 @@ def main():
 
     from phones_las_tpu.data.pipeline import DataSource, PipelineConfig
     from phones_las_tpu.data.vocab import Vocab
-    from phones_las_tpu.models import (
-        LASConfig, ListenerConfig, SpellerConfig, compute_loss, init_las,
-    )
-    from phones_las_tpu.parallel import make_mesh, shard_params
-    from phones_las_tpu.train.state import TrainConfig, make_optimizer, mask_grads
+    from phones_las_tpu.models import LASConfig, ListenerConfig, SpellerConfig
+    from phones_las_tpu.parallel import make_mesh
+    from phones_las_tpu.train import TrainConfig, Trainer
 
     vocab = Vocab([f"ph{i}" for i in range(5)])
     cfg = LASConfig(
@@ -47,41 +44,36 @@ def main():
             memory_dim=32, attention_units=16, attention_layer_size=16,
         ),
     )
+    # two buckets: utterances span 0.2–3 s, so the epoch plan mixes
+    # bucket shapes and exercises the bucket-aligned plan stride
     pipe = PipelineConfig(
-        batch_size=4, buckets=(24000,), max_target_len=12,
+        batch_size=4, buckets=(24000, 48000), max_target_len=24,
         eos_id=vocab.eos_id, pad_id=vocab.pad_id, shuffle=True,
     )
-    # per-process slice of the shared plan (what cli.train --multihost does)
-    src = DataSource([data_path], pipe,
-                     shard=(jax.process_index(), jax.process_count()))
+    shard = (jax.process_index(), jax.process_count())
+    src = DataSource([data_path], pipe, shard=shard)
+    eval_pipe = PipelineConfig(
+        batch_size=4, buckets=(24000, 48000), max_target_len=24,
+        eos_id=vocab.eos_id, pad_id=vocab.pad_id, shuffle=False,
+        drop_remainder=False,
+    )
+    eval_src = DataSource([data_path], eval_pipe, shard=shard)
 
-    mesh = make_mesh()  # all global devices on the 'data' axis
-    params = shard_params(init_las(jax.random.PRNGKey(0), cfg), mesh)
-    tx = make_optimizer(TrainConfig())
-    opt_state = jax.jit(tx.init)(params)
-
-    import optax
-
-    @jax.jit
-    def step(params, opt_state, batch):
-        (loss, _), grads = jax.value_and_grad(
-            lambda p: compute_loss(p, cfg, batch, train=False), has_aux=True
-        )(params)
-        grads = mask_grads(grads, params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    tc = TrainConfig(num_steps=3, log_every=1, eval_every=10**9,
+                     checkpoint_every=10**9)
+    tr = Trainer(cfg, tc, implementation="xla", mesh=make_mesh())
 
     losses = []
-    for i, batch in enumerate(src.epoch(0)):
-        if i >= 3:
-            break
-        gbatch = shard_batch_global(batch, mesh)
-        # global batch = per-process rows × process_count
-        assert gbatch["audio"].shape[0] == pipe.batch_size * n_procs
-        params, opt_state, loss = step(params, opt_state, gbatch)
-        losses.append(float(loss))
-    assert all(np.isfinite(l) for l in losses), losses
-    print("LOSSES", " ".join(f"{l:.6f}" for l in losses), flush=True)
+    tr.fit(src.repeat(), log_fn=lambda m: losses.append(m.get("loss")))
+    assert losses and all(np.isfinite(l) for l in losses), losses
+
+    ev = tr.evaluate(eval_src.epoch(0))
+    assert np.isfinite(ev["loss"]) and ev["ref_tokens"] > 0, ev
+    print(
+        "LOSSES", " ".join(f"{l:.6f}" for l in losses),
+        "| EVAL", f"{ev['loss']:.6f}", f"{ev['per']:.6f}", ev["ref_tokens"],
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -28,8 +28,11 @@ def _free_port() -> int:
 
 
 def test_two_process_training(tmp_path):
+    # up-to-20-phone utterances (0.2–3 s) → the epoch plan mixes two
+    # bucket shapes, exercising the bucket-aligned plan stride
     path, _ = write_synth_corpus(
-        str(tmp_path / "train.plu"), n_utts=32, n_phones=5
+        str(tmp_path / "train.plu"), n_utts=48, n_phones=5,
+        n_phones_range=(3, 20),
     )
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
