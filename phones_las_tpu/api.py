@@ -302,12 +302,17 @@ class Transcriber:
         ids = merge_window_hypotheses(per_window, starts, ov)
         return self.vocab.decode(np.asarray(ids, np.int32))
 
+    @property
+    def sample_rate(self) -> int:
+        return self._sample_rate
+
     def transcribe_files(self, paths: Sequence[str]) -> List[List[str]]:
+        """Audio files → token sequences; other sample rates are
+        resampled to the model rate (native polyphase resampler)."""
         from phones_las_tpu.data.audio_io import read_audio
 
         clips = []
         for p in paths:
-            pcm, rate = read_audio(p)
-            assert rate == self._sample_rate, f"{p}: rate {rate} != {self._sample_rate}"
+            pcm, _ = read_audio(p, target_rate=self._sample_rate)
             clips.append(pcm)
         return self.transcribe_batch(clips)

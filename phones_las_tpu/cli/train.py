@@ -71,8 +71,9 @@ def main(argv=None):
     p.add_argument("--debug-nans", action="store_true",
                    help="enable the NaN sanitizer (jax_debug_nans)")
     p.add_argument("--profile-steps", type=int, default=0,
-                   help="capture a device trace of the first N steps into "
-                        "<workdir>/profile for TensorBoard")
+                   help="capture a device trace of N diagnostic train steps "
+                        "into <workdir>/profile for TensorBoard (the steps "
+                        "advance the model but are not checkpointed)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -211,9 +212,17 @@ def main(argv=None):
 
         from phones_las_tpu.utils.diagnostics import profile_trace
 
-        with profile_trace(os.path.join(args.workdir, "profile")):
-            trainer.fit(itertools.islice(
-                source.repeat(trainer.start_epoch), args.profile_steps))
+        # diagnostic leg: these steps advance the model (donated buffers
+        # cannot be rolled back) but are never checkpointed — otherwise a
+        # profile run would write an epoch-0 checkpoint regardless of the
+        # resumed epoch and corrupt the resume bookkeeping
+        ckpt, trainer.ckpt = trainer.ckpt, None
+        try:
+            with profile_trace(os.path.join(args.workdir, "profile")):
+                trainer.fit(itertools.islice(
+                    source.repeat(trainer.start_epoch), args.profile_steps))
+        finally:
+            trainer.ckpt = ckpt
 
     print(f"training {args.preset}: vocab={len(vocab)} "
           f"steps={preset.train.num_steps} workdir={args.workdir}")

@@ -54,8 +54,7 @@ def main(argv=None):
     if args.long_form:
         results = []
         for path in args.files:
-            pcm, rate = read_audio(path)
-            assert rate == t._sample_rate, f"{path}: {rate} Hz"
+            pcm, _ = read_audio(path, target_rate=t.sample_rate)
             results.append(t.transcribe_long(
                 np.asarray(pcm), window_seconds=args.window_seconds,
                 overlap_seconds=args.overlap_seconds,

@@ -238,24 +238,46 @@ class DataSource:
         return plans
 
     def epoch(self, epoch: int = 0, prefetch: int = 4) -> Iterator[Dict]:
-        """One pass over the data as batches, prefetched on a thread."""
+        """One pass over the data as batches, prefetched on a thread.
+
+        Producer exceptions propagate to the consumer (a crashed reader
+        must not look like a completed epoch), and abandoning the
+        iterator mid-epoch (``break`` in the training loop) cancels the
+        producer instead of leaving it blocked on the bounded queue."""
         q: queue.Queue = queue.Queue(maxsize=prefetch)
         stop = object()
+        cancelled = threading.Event()
+
+        def put(item) -> bool:
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for bi, idx in self._plan(epoch):
-                    q.put(self._fill_batch(self.cfg.buckets[bi], idx))
-            finally:
-                q.put(stop)
+                    if not put(self._fill_batch(self.cfg.buckets[bi], idx)):
+                        return
+                put(stop)
+            except BaseException as e:  # re-raised in the consumer
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            cancelled.set()
 
     def repeat(self, start_epoch: int = 0) -> Iterator[Dict]:
         e = start_epoch

@@ -102,16 +102,26 @@ def _recurrence_xla(
     wh: jnp.ndarray,
     forget_bias: float,
     reverse: bool,
+    prec: str = "highest",
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     t, b, four_u = xp_tm.shape
     u = four_u // 4
     h0 = jnp.zeros((b, u), xp_tm.dtype)
     c0 = jnp.zeros((b, u), xp_tm.dtype)
+    wh_d = _rec_wh(wh, prec)
 
     def step(carry, inp):
         h, c = carry
         xp_t, m = inp
-        gates = xp_t + jnp.matmul(h, wh, precision=_HI)
+        # same dot-precision semantics as the Pallas kernels (_rec_dot):
+        # bf16 single-pass in production mode, 6-pass f32 in parity mode
+        if prec == "bf16":
+            gates = xp_t + jnp.dot(
+                h.astype(jnp.bfloat16), wh_d,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            gates = xp_t + jnp.matmul(h, wh_d, precision=_HI)
         h_new, c_new = _cell_math(gates, c, forget_bias)
         m = m[:, None]
         h = m * h_new + (1.0 - m) * h
@@ -677,7 +687,10 @@ def lstm_layer(
             prec,
         )
     else:
-        out_tm, state = _recurrence_xla(xp_tm, mask_tm, params.wh, forget_bias, reverse)
+        out_tm, state = _recurrence_xla(
+            xp_tm, mask_tm, params.wh, forget_bias, reverse,
+            prec=resolve_rnn_precision(precision),
+        )
     return jnp.transpose(out_tm, (1, 0, 2)), state
 
 
@@ -699,11 +712,11 @@ def bilstm_layer(
     if implementation != "pallas":
         out_f, st_f = lstm_layer(
             fwd, x, lengths, reverse=False, forget_bias=forget_bias,
-            implementation=implementation,
+            implementation=implementation, precision=precision,
         )
         out_b, st_b = lstm_layer(
             bwd, x, lengths, reverse=True, forget_bias=forget_bias,
-            implementation=implementation,
+            implementation=implementation, precision=precision,
         )
         return jnp.concatenate([out_f, out_b], axis=-1), (st_f, st_b)
 

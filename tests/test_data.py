@@ -90,3 +90,45 @@ def test_binf_features_sanity():
 
 def test_timit_fold():
     assert fold_timit(["ix", "q", "zh", "h#", "iy"]) == ["ih", "sh", "sil", "iy"]
+
+
+def test_pipeline_producer_exception_propagates(tmp_path):
+    """A crashed reader must not look like a completed epoch (the
+    producer thread forwards its exception to the consumer)."""
+    import pytest
+
+    from phones_las_tpu.data.synthetic import write_synth_corpus
+
+    path, vocab = write_synth_corpus(str(tmp_path / "t.plu"), n_utts=8)
+    pipe = PipelineConfig(batch_size=4, buckets=(24000,), max_target_len=12,
+                          eos_id=vocab.eos_id, pad_id=vocab.pad_id)
+    src = DataSource([path], pipe)
+
+    def boom(*a, **k):
+        raise RuntimeError("reader exploded")
+
+    src._fill_batch = boom
+    with pytest.raises(RuntimeError, match="reader exploded"):
+        list(src.epoch(0))
+
+
+def test_pipeline_abandoned_epoch_cancels_producer(tmp_path):
+    """Breaking out of an epoch mid-stream must not leave the producer
+    blocked on the bounded queue forever."""
+    import threading
+    import time
+
+    from phones_las_tpu.data.synthetic import write_synth_corpus
+
+    path, vocab = write_synth_corpus(str(tmp_path / "t.plu"), n_utts=32)
+    pipe = PipelineConfig(batch_size=2, buckets=(24000,), max_target_len=12,
+                          eos_id=vocab.eos_id, pad_id=vocab.pad_id)
+    src = DataSource([path], pipe)
+    before = threading.active_count()
+    it = src.epoch(0, prefetch=1)
+    next(it)
+    it.close()  # abandon mid-epoch → cancellation event fires
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
