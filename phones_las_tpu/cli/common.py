@@ -117,7 +117,10 @@ def resolve_preset(
             model = dataclasses.replace(model, **{k: v})
         else:
             raise ValueError(f"unknown config override {k!r}")
-    if any(k in _listener_keys or k == "encoder_units" for k in (overrides or {})):
+    if any(
+        (overrides or {}).get(k) is not None
+        for k in ("encoder_layers", "encoder_units")
+    ):
         # keep dependent dims consistent when the encoder width changes
         model = dataclasses.replace(
             model,

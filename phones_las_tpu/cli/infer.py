@@ -18,7 +18,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", required=True)
     p.add_argument("--data", required=True, help="a .plu record file or data dir")
-    p.add_argument("--beam-width", type=int, default=0, help="0 = greedy")
+    p.add_argument("--beam-width", type=int, default=None,
+                   help="0 = force greedy; unset = the preset's width")
     p.add_argument("--length-penalty", type=float, default=0.0)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--output", default=None, help="write hypotheses TSV here")
@@ -81,7 +82,9 @@ def main(argv=None):
         mesh = make_mesh(model=1)
         params = shard_params(params, mesh)
 
-    beam = args.beam_width or preset.beam_width
+    # explicit --beam-width 0 must force greedy even when the preset
+    # declares a beam (falsy-zero would fall through to the preset)
+    beam = args.beam_width if args.beam_width is not None else preset.beam_width
     impl = trainer.implementation  # 'auto' resolved by the Trainer
     if args.head == "grapheme":
         assert model_cfg.grapheme_speller is not None, "model has no grapheme head"
@@ -89,7 +92,6 @@ def main(argv=None):
         speller_cfg, vocab = model_cfg.grapheme_speller, gvocab
         get_speller = lambda p: p.grapheme_speller
         max_steps = preset.pipeline.max_grapheme_len or preset.pipeline.max_target_len
-        fold = None  # phone folding does not apply to graphemes
     else:
         speller_cfg = model_cfg.speller
         get_speller = lambda p: p.speller

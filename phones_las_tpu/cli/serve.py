@@ -175,7 +175,14 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                 "utt_seconds": round(pcm.shape[0] / sample_rate, 3),
             })
 
-    return ThreadingHTTPServer((host, port), Handler), worker
+    class Server(ThreadingHTTPServer):
+        # stdlib default backlog is 5: a burst of concurrent clients
+        # (the whole point of a batching server) gets connection resets
+        # at the accept queue before the handler ever runs
+        request_queue_size = 512
+        daemon_threads = True
+
+    return Server((host, port), Handler), worker
 
 
 def main(argv=None):

@@ -85,6 +85,7 @@ def load_params_for_warm_start(
     # source language's run and ours never collide; rebuild only the
     # listener subtree (+ CMVN stats) against our NamedTuple structure.
     step = step if step is not None else mgr.latest_step()
+    assert step is not None, f"no checkpoint to warm-start from in {workdir}"
     raw = mgr._mgr.restore(
         step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
     )["state"]["params"]
@@ -96,6 +97,9 @@ def load_params_for_warm_start(
                 *[rebuild(getattr(template, f), node[f]) for f in template._fields]
             )
         if isinstance(template, tuple):  # tuple ← list
+            assert len(template) == len(node), (
+                f"encoder layer-count mismatch: {len(template)} vs {len(node)}"
+            )
             return tuple(rebuild(t, n) for t, n in zip(template, node))
         assert template.shape == node.shape, (
             f"encoder shape mismatch: {template.shape} vs {node.shape}"
