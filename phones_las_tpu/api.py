@@ -57,6 +57,7 @@ class Transcriber:
         head: str = "phone",
         implementation: str = "auto",
         max_device_batch: int = 64,
+        data_parallel: int = 1,
     ):
         import dataclasses
 
@@ -91,6 +92,27 @@ class Transcriber:
         )
         assert int(trainer.state.step) > 0, f"no checkpoint in {workdir}"
         self.params = trainer.state.params
+        # multi-chip DP inference (BASELINE configs[4] shape): waves carry
+        # data_parallel × max_device_batch utterances with the batch axis
+        # sharded over a ('data',) mesh; decode is embarrassingly parallel
+        # over utterances, so GSPMD partitions every program with zero
+        # collectives and each chip runs its B=max_device_batch slice.
+        if data_parallel == 0:
+            data_parallel = len(jax.devices())
+        self.data_parallel = max(1, int(data_parallel))
+        self.mesh = None
+        if self.data_parallel > 1:
+            from phones_las_tpu.parallel import make_mesh, shard_params
+
+            assert self.data_parallel <= len(jax.devices()), (
+                f"data_parallel={self.data_parallel} but only "
+                f"{len(jax.devices())} local device(s)"
+            )
+            self.mesh = make_mesh(
+                data=self.data_parallel, model=1,
+                devices=jax.devices()[: self.data_parallel],
+            )
+            self.params = shard_params(self.params, self.mesh)
         self.model_cfg = preset.model
         self.impl = trainer.implementation
         self.beam = beam_width if beam_width is not None else preset.beam_width
@@ -111,6 +133,27 @@ class Transcriber:
         self._jit_cache: Dict[int, object] = {}
         self._sample_rate = preset.model.frontend.sample_rate
 
+    def _wave_size(self, n: int) -> int:
+        """Utterances per device dispatch: up to max_device_batch per
+        chip, always a multiple of the data axis so the shard is even."""
+        cap = self.max_device_batch * self.data_parallel
+        wave = min(n, cap)
+        dp = self.data_parallel
+        return ((wave + dp - 1) // dp) * dp
+
+    def _put_inputs(self, wav_batch, wav_lens):
+        """Shard a host wave over the mesh's 'data' axis (no-op single
+        device: jit moves host arrays itself)."""
+        if self.mesh is None:
+            return wav_batch, wav_lens
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return (
+            jax.device_put(wav_batch, NamedSharding(self.mesh, P("data", None))),
+            jax.device_put(wav_lens, NamedSharding(self.mesh, P("data"))),
+        )
+
     def _infer_fn(self, pad_len: int, batch: int):
         key = (pad_len, batch <= 8)
         if key in self._jit_cache:
@@ -127,7 +170,7 @@ class Transcriber:
         # low-latency niche (see decode/pallas_greedy.py)
         use_fused = (
             not beam and batch <= 8 and self.impl == "pallas"
-            and pallas_greedy.supports(sp_cfg)
+            and self.mesh is None and pallas_greedy.supports(sp_cfg)
         )
 
         @jax.jit
@@ -166,7 +209,7 @@ class Transcriber:
         b = len(audio)
         lens = np.asarray([a.shape[0] for a in audio], np.int32)
         pad = ((int(lens.max()) + pad_quantum - 1) // pad_quantum) * pad_quantum
-        wave = min(b, self.max_device_batch)
+        wave = self._wave_size(b)
         # ship int16 when the input is int16 (half the host→device bytes;
         # the device front-end consumes raw PCM values either way)
         dt = (
@@ -184,7 +227,7 @@ class Transcriber:
             wav_lens = np.zeros((wave,), np.int32)
             wav_lens[:n] = lens[ofs : ofs + n]
             fn = self._infer_fn(pad, wave)
-            results.append((n, fn(self.params, wav_batch, wav_lens)))
+            results.append((n, fn(self.params, *self._put_inputs(wav_batch, wav_lens))))
         out: List[List[str]] = []
         for n, (toks, out_lens) in results:  # fetch after all dispatches
             toks, out_lens = np.asarray(toks), np.asarray(out_lens)
@@ -230,6 +273,65 @@ class Transcriber:
         self._jit_cache[key] = fn
         return fn
 
+    def frame_samples(self) -> float:
+        """Input samples per encoder frame (front-end hop × pyramid
+        stride) — the unit attention-peak timestamps are measured in."""
+        return (
+            self.model_cfg.frontend.hop_ms / 1000.0 * self._sample_rate
+        ) * self.model_cfg.listener.time_reduction()
+
+    def decode_aligned(
+        self,
+        windows: Sequence[np.ndarray],
+        *,
+        window_samples: int,
+        max_tokens_per_second: float = 25.0,
+    ) -> List:
+        """Decode equal-capacity audio windows with per-token timestamps.
+
+        Returns one ``(ids, times)`` pair per window; ``times`` are sample
+        positions *relative to the window start* (attention-peak encoder
+        frames mapped back through the pyramid stride and front-end hop).
+        This is the building block for long-form stitching
+        (``transcribe_long``) and the streaming serve endpoint. Windows
+        are dispatched in mesh-sized waves like ``transcribe_batch``.
+        """
+        sr = self._sample_rate
+        fs = self.frame_samples()
+        enc_frames = max(1, int(window_samples / fs))
+        steps_cap = max(
+            16,
+            min(enc_frames,
+                int(window_samples / sr * max_tokens_per_second)),
+        )
+        wave = self._wave_size(len(windows))
+        dt = (
+            np.int16
+            if all(np.asarray(w).dtype == np.int16 for w in windows)
+            else np.float32
+        )
+        dispatched = []
+        for ofs in range(0, len(windows), wave):
+            chunk = windows[ofs : ofs + wave]
+            wav_batch = np.zeros((wave, window_samples), dt)
+            wav_lens = np.zeros((wave,), np.int32)
+            for i, seg in enumerate(chunk):
+                assert len(seg) <= window_samples, (len(seg), window_samples)
+                wav_batch[i, : len(seg)] = seg
+                wav_lens[i] = len(seg)
+            fn = self._infer_fn_aligned(window_samples, wave, steps_cap)
+            dispatched.append(
+                (len(chunk), fn(self.params, *self._put_inputs(wav_batch, wav_lens)))
+            )
+        out = []
+        for n, (toks, lens, peaks) in dispatched:  # fetch after dispatch
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            peaks = np.asarray(peaks)  # [B, S] attention-peak enc frames
+            for i in range(n):
+                k = int(lens[i])
+                out.append((toks[i][:k], (peaks[i][:k] + 0.5) * fs))
+        return out
+
     def transcribe_long(
         self,
         audio: np.ndarray,
@@ -267,38 +369,14 @@ class Transcriber:
             return self.transcribe(audio)
         hop = win - ov
         starts = list(range(0, audio.shape[0] - ov, hop))
-        # absolute samples per encoder frame: front-end hop × pyramid stride
-        frame_samples = (
-            self.model_cfg.frontend.hop_ms / 1000.0 * sr
-        ) * self.model_cfg.listener.time_reduction()
-        enc_frames = max(1, int(win / frame_samples))
-        steps_cap = max(
-            16, min(enc_frames, int(window_seconds * max_tokens_per_second))
+        decoded = self.decode_aligned(
+            [audio[s : s + win] for s in starts],
+            window_samples=win,
+            max_tokens_per_second=max_tokens_per_second,
         )
-
-        wave = min(len(starts), self.max_device_batch)
-        dt = np.int16 if audio.dtype == np.int16 else np.float32
-        dispatched = []
-        for ofs in range(0, len(starts), wave):
-            chunk = starts[ofs : ofs + wave]
-            wav_batch = np.zeros((wave, win), dt)
-            wav_lens = np.zeros((wave,), np.int32)
-            for i, s in enumerate(chunk):
-                seg = audio[s : s + win]
-                wav_batch[i, : len(seg)] = seg
-                wav_lens[i] = len(seg)
-            fn = self._infer_fn_aligned(win, wave, steps_cap)
-            dispatched.append((len(chunk), fn(self.params, wav_batch, wav_lens)))
-
-        per_window = []
-        for n, (toks, lens, peaks) in dispatched:  # fetch after dispatch
-            toks, lens = np.asarray(toks), np.asarray(lens)
-            peaks = np.asarray(peaks)  # [B, S] attention-peak enc frames
-            for i in range(n):
-                s0 = starts[len(per_window)]
-                k = int(lens[i])
-                times = s0 + (peaks[i][:k] + 0.5) * frame_samples
-                per_window.append((toks[i][:k], times))
+        per_window = [
+            (ids, s0 + times) for s0, (ids, times) in zip(starts, decoded)
+        ]
         ids = merge_window_hypotheses(per_window, starts, ov)
         return self.vocab.decode(np.asarray(ids, np.int32))
 

@@ -28,7 +28,7 @@ import json
 import queue
 import tempfile
 import threading
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -104,6 +104,107 @@ class BatchingWorker:
                 p.event.set()
 
 
+class StreamSession:
+    """Incremental long-form transcription session.
+
+    Audio arrives in chunks; complete sliding windows are decoded as soon
+    as the *next* window is guaranteed to exist (so each window's
+    ownership range under the overlap-midpoint cut rule — see
+    ``api.merge_window_hypotheses`` — is already final), and the tokens
+    they own are returned immediately. ``end()`` decodes the partial tail
+    and flushes the rest. The final concatenated transcript is identical
+    to ``Transcriber.transcribe_long`` over the whole recording.
+    """
+
+    def __init__(self, transcriber, window_seconds: float = 20.0,
+                 overlap_seconds: float = 2.0,
+                 max_tokens_per_second: float = 25.0):
+        sr = transcriber.sample_rate
+        self.t = transcriber
+        self.win = int(window_seconds * sr)
+        self.ov = int(overlap_seconds * sr)
+        assert 0 < self.ov < self.win, (self.ov, self.win)
+        self.hop = self.win - self.ov
+        self.mtps = max_tokens_per_second
+        self.rate = sr          # client sample rate (resampled on feed)
+        self._chunks: List[np.ndarray] = []
+        self.base = 0           # absolute position of the buffer's first sample
+        self.total = 0          # samples received
+        self.next_start = 0     # absolute start of the next window to decode
+        self.n_windows = 0      # windows decoded so far
+        self.n_tokens = 0       # tokens emitted so far
+        self.ended = False
+        self.lock = threading.Lock()
+
+    def _audio(self) -> np.ndarray:
+        if len(self._chunks) > 1:
+            self._chunks = [np.concatenate(self._chunks)]
+        return self._chunks[0] if self._chunks else np.zeros(0, np.int16)
+
+    def _decode(self, starts: List[int], last_is_final: bool) -> List[str]:
+        """Decode the windows at ``starts`` and return the token strings
+        they own (lo/hi per the overlap-midpoint rule)."""
+        audio = self._audio()
+        decoded = self.t.decode_aligned(
+            [audio[s - self.base : s - self.base + self.win] for s in starts],
+            window_samples=self.win, max_tokens_per_second=self.mtps,
+        )
+        out_ids = []
+        for j, (s, (ids, times)) in enumerate(zip(starts, decoded)):
+            idx = self.n_windows + j
+            lo = -np.inf if idx == 0 else s + self.ov / 2.0
+            hi = (
+                np.inf
+                if (last_is_final and j == len(starts) - 1)
+                else s + self.hop + self.ov / 2.0
+            )
+            for tok, tm in zip(ids, s + times):
+                if lo <= tm < hi:
+                    out_ids.append(int(tok))
+        self.n_windows += len(starts)
+        self.n_tokens += len(out_ids)
+        return self.t.vocab.decode(np.asarray(out_ids, np.int64))
+
+    def feed(self, pcm: np.ndarray) -> List[str]:
+        with self.lock:
+            assert not self.ended, "session already ended"
+            self._chunks.append(np.asarray(pcm))
+            self.total += len(pcm)
+            # a window is decodable once the stream extends strictly past
+            # it: then the next window exists in the final enumeration
+            # (total > s + win = s_next + overlap ⇒ s_next < total − overlap)
+            # and this window's hi-cut is already correct
+            starts = []
+            while self.next_start + self.win < self.total:
+                starts.append(self.next_start)
+                self.next_start += self.hop
+            out = self._decode(starts, last_is_final=False) if starts else []
+            # samples before the next window's start are never read again
+            if self.next_start > self.base:
+                audio = self._audio()
+                self._chunks = [audio[self.next_start - self.base :]]
+                self.base = self.next_start
+            return out
+
+    def end(self) -> List[str]:
+        with self.lock:
+            assert not self.ended, "session already ended"
+            self.ended = True
+            starts = []
+            if self.n_windows == 0 and self.total <= self.win:
+                # short stream: one window covers everything
+                if self.total > 0:
+                    starts = [0]
+            else:
+                s = self.next_start
+                while s < self.total - self.ov:
+                    starts.append(s)
+                    s += self.hop
+            out = self._decode(starts, last_is_final=True) if starts else []
+            self._chunks = []
+            return out
+
+
 def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                 batch_wait_ms: float = 20.0, head: str = "phone"):
     """→ (ThreadingHTTPServer, BatchingWorker). ``serve_forever()`` to run."""
@@ -113,6 +214,9 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
 
     worker = BatchingWorker(transcriber, max_batch, batch_wait_ms)
     sample_rate = transcriber._sample_rate
+    sessions: Dict[str, StreamSession] = {}
+    sessions_lock = threading.Lock()
+    max_sessions = 256
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet access log
@@ -137,25 +241,99 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
             else:
                 self._json(404, {"error": "not found"})
 
+        def _read_pcm(self, qs, data):
+            """Raw int16 PCM body → model-rate int16 samples."""
+            pcm = np.frombuffer(data, np.int16)
+            rate = int(qs.get("rate", [sample_rate])[-1])
+            if rate != sample_rate:
+                from phones_las_tpu.data.audio_io import resample
+
+                pcm = resample(pcm, rate, sample_rate)
+            return pcm
+
+        def _do_stream(self, url, qs, data):
+            """Streaming session endpoints:
+
+            POST /stream/start[?window_s=20&overlap_s=2&rate=16000]
+                → {"id": ...}
+            POST /stream/<id>     body = raw int16 PCM chunk
+                → {"tokens": [now-final tokens], "buffered_seconds": ...}
+            POST /stream/<id>/end
+                → {"tokens": [remaining tokens], "total_tokens": N}
+            """
+            parts = url.path.split("/")  # ['', 'stream', ...]
+            if parts[2:] == ["start"]:
+                import uuid
+
+                with sessions_lock:
+                    if len(sessions) >= max_sessions:
+                        return self._json(429, {"error": "too many sessions"})
+                    sid = uuid.uuid4().hex[:16]
+                    try:
+                        sessions[sid] = StreamSession(
+                            transcriber,
+                            window_seconds=float(
+                                qs.get("window_s", ["20"])[-1]),
+                            overlap_seconds=float(
+                                qs.get("overlap_s", ["2"])[-1]),
+                        )
+                        sessions[sid].rate = int(
+                            qs.get("rate", [sample_rate])[-1])
+                    except (AssertionError, ValueError) as e:
+                        return self._json(400, {"error": f"bad params: {e}"})
+                return self._json(200, {"id": sid})
+            with sessions_lock:
+                sess = sessions.get(parts[2])
+            if sess is None:
+                return self._json(404, {"error": "no such session"})
+            if parts[3:] == ["end"]:
+                try:
+                    toks = sess.end()
+                finally:
+                    with sessions_lock:
+                        sessions.pop(parts[2], None)
+                return self._json(200, {
+                    "tokens": toks, "total_tokens": sess.n_tokens,
+                    "total_seconds": round(sess.total / sample_rate, 3),
+                })
+            if parts[3:]:
+                return self._json(404, {"error": "not found"})
+            pcm = np.frombuffer(data, np.int16)
+            if sess.rate != sample_rate and pcm.size:
+                from phones_las_tpu.data.audio_io import resample
+
+                pcm = resample(pcm, sess.rate, sample_rate)
+            try:
+                toks = sess.feed(pcm)
+            except AssertionError as e:
+                return self._json(400, {"error": str(e)})
+            return self._json(200, {
+                "tokens": toks,
+                "buffered_seconds": round(
+                    (sess.total - sess.next_start) / sample_rate, 3),
+            })
+
         def do_POST(self):
             from urllib.parse import parse_qs, urlparse
 
             url = urlparse(self.path)
+            qs = parse_qs(url.query)
+            if url.path.startswith("/stream/"):
+                n = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(n) if n > 0 else b""
+                try:
+                    return self._do_stream(url, qs, data)
+                except Exception as e:
+                    return self._json(500, {"error": f"{type(e).__name__}: {e}"})
             if url.path != "/transcribe":
                 return self._json(404, {"error": "not found"})
-            qs = parse_qs(url.query)
             n = int(self.headers.get("Content-Length", 0))
             if n <= 0:
                 return self._json(400, {"error": "empty body"})
             data = self.rfile.read(n)
             try:
                 if qs.get("raw", ["0"])[-1] == "1":
-                    pcm = np.frombuffer(data, np.int16)
-                    rate = int(qs.get("rate", [sample_rate])[-1])
-                    if rate != sample_rate:
-                        from phones_las_tpu.data.audio_io import resample
-
-                        pcm = resample(pcm, rate, sample_rate)
+                    pcm = self._read_pcm(qs, data)
                 else:
                     # the native decoders dispatch on file content
                     with tempfile.NamedTemporaryFile(suffix=".bin") as f:
@@ -201,14 +379,23 @@ def main(argv=None):
     p.add_argument("--head", default="phone", choices=["phone", "grapheme"])
     p.add_argument("--implementation", default="auto",
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="route micro-batches across this many chips "
+                        "(0 = all local devices): the batch axis is "
+                        "sharded over a ('data',) mesh, so one server "
+                        "drives the whole slice instead of one server "
+                        "per chip")
     args = p.parse_args(argv)
 
     from phones_las_tpu.api import Transcriber
 
     t = Transcriber(
         args.workdir, beam_width=args.beam_width, head=args.head,
-        implementation=args.implementation,
+        implementation=args.implementation, data_parallel=args.data_parallel,
     )
+    if t.data_parallel > 1 and args.max_batch % t.data_parallel != 0:
+        p.error(f"--max-batch {args.max_batch} must be a multiple of "
+                f"--data-parallel {t.data_parallel}")
     # compile the program the worker actually dispatches (a full
     # max_batch micro-batch at the smallest pad quantum) so the first
     # real request doesn't pay the XLA compile

@@ -7,11 +7,12 @@ import threading
 import urllib.request
 
 import numpy as np
+import pytest
 
 from phones_las_tpu.api import Transcriber
 from phones_las_tpu.cli import prepare as prepare_cli
 from phones_las_tpu.cli import train as train_cli
-from phones_las_tpu.cli.serve import make_server
+from phones_las_tpu.cli.serve import StreamSession, make_server
 from phones_las_tpu.data.audio_io import write_wav
 
 
@@ -24,8 +25,12 @@ def _post(url, data, headers=None):
         return e.code, json.loads(e.read())
 
 
-def test_serve_roundtrip(tmp_path):
-    data, wd = str(tmp_path / "d"), str(tmp_path / "w")
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    """One tiny trained model shared by every serve test (2 optimization
+    steps — serving behavior only needs decode determinism, not accuracy)."""
+    root = tmp_path_factory.mktemp("serve")
+    data, wd = str(root / "d"), str(root / "w")
     prepare_cli.main(["synthetic", "--out", data, "--n-utts", "10",
                       "--n-phones", "4"])
     train_cli.main([
@@ -35,7 +40,11 @@ def test_serve_roundtrip(tmp_path):
         "--decoder-units", "16", "--embedding-dim", "8",
         "--attention-units", "16",
     ])
-    t = Transcriber(wd)
+    return wd
+
+
+def test_serve_roundtrip(tmp_path, workdir):
+    t = Transcriber(workdir)
     rs = np.random.RandomState(0)
     pcm = (rs.randn(9000) * 2000).astype(np.int16)
     expected = t.transcribe(pcm)
@@ -83,3 +92,76 @@ def test_serve_roundtrip(tmp_path):
 def _post_get(url):
     with urllib.request.urlopen(url, timeout=30) as r:
         return r.status, json.loads(r.read())
+
+
+def test_stream_session_matches_transcribe_long(workdir):
+    """Incremental session output (all feeds + end, concatenated) must be
+    byte-identical to the offline sliding-window transcription — the
+    stream is just transcribe_long with tokens released early."""
+    t = Transcriber(workdir)
+    rs = np.random.RandomState(3)
+    audio = (rs.randn(3 * 16000 + 777) * 2000).astype(np.int16)  # ~3 s
+    offline = t.transcribe_long(
+        audio, window_seconds=0.8, overlap_seconds=0.3
+    )
+
+    for chunk in (1777, 16000, len(audio)):  # tiny, ~1 s, single-shot
+        sess = StreamSession(t, window_seconds=0.8, overlap_seconds=0.3)
+        toks = []
+        for ofs in range(0, len(audio), chunk):
+            toks += sess.feed(audio[ofs : ofs + chunk])
+        toks += sess.end()
+        assert toks == offline, (chunk, toks, offline)
+
+    # short stream (≤ one window) still produces a transcript
+    sess = StreamSession(t, window_seconds=2.0, overlap_seconds=0.5)
+    assert sess.feed(audio[:8000]) == []
+    short = sess.end()
+    assert isinstance(short, list)
+
+    # empty stream
+    sess = StreamSession(t)
+    assert sess.end() == []
+
+
+def test_stream_http_endpoints(workdir):
+    t = Transcriber(workdir)
+    rs = np.random.RandomState(4)
+    audio = (rs.randn(2 * 16000) * 2000).astype(np.int16)
+    offline = t.transcribe_long(
+        audio, window_seconds=0.8, overlap_seconds=0.3
+    )
+
+    server, worker = make_server(t, "127.0.0.1", 0, max_batch=4)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        code, res = _post(base + "/stream/start?window_s=0.8&overlap_s=0.3",
+                          b"")
+        assert code == 200, res
+        sid = res["id"]
+        toks = []
+        for ofs in range(0, len(audio), 16000):
+            code, res = _post(base + f"/stream/{sid}",
+                              audio[ofs : ofs + 16000].tobytes())
+            assert code == 200, res
+            toks += res["tokens"]
+        code, res = _post(base + f"/stream/{sid}/end", b"")
+        assert code == 200, res
+        toks += res["tokens"]
+        assert toks == offline
+        assert res["total_tokens"] == len(offline)
+
+        # the session is gone after /end
+        code, res = _post(base + f"/stream/{sid}", b"\x00\x00")
+        assert code == 404
+
+        # unknown session and bad params are client errors
+        code, _ = _post(base + "/stream/nope", b"\x00\x00")
+        assert code == 404
+        code, _ = _post(base + "/stream/start?window_s=0.1&overlap_s=0.5", b"")
+        assert code == 400
+    finally:
+        worker.stop()
+        server.shutdown()
