@@ -29,7 +29,11 @@ def main(argv=None):
     p.add_argument("--head", default="phone", choices=["phone", "grapheme"])
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering platforms (e.g. tpu,cpu);"
-                        " default = the current backend only")
+                        " default = the current backend only; multi-platform"
+                        " artifacts use the XLA implementation (Pallas"
+                        " kernels only lower for TPU)")
+    p.add_argument("--implementation", default="auto",
+                   choices=["auto", "xla", "pallas"])
     args = p.parse_args(argv)
 
     from phones_las_tpu.export import export_model
@@ -43,6 +47,7 @@ def main(argv=None):
         beam_width=args.beam_width,
         head=args.head,
         platforms=args.platforms.split(",") if args.platforms else None,
+        implementation=args.implementation,
     )
     import os
 

@@ -44,17 +44,25 @@ def export_model(
     beam_width: Optional[int] = None,
     head: str = "phone",
     platforms: Optional[Sequence[str]] = None,
+    implementation: str = "auto",
 ) -> dict:
     """Trace + serialize the inference program for each serving shape.
 
     Returns the metadata dict (also written to ``<out_dir>/export.json``).
+    Multi-platform artifacts (``platforms`` beyond tpu) force the XLA
+    implementation: the Pallas kernels only lower for TPU.
     """
     import jax
     from jax import export as jexport
 
     from phones_las_tpu.api import Transcriber
 
-    t = Transcriber(workdir, beam_width=beam_width, head=head)
+    if implementation == "auto" and platforms and set(platforms) != {"tpu"}:
+        implementation = "xla"
+    t = Transcriber(
+        workdir, beam_width=beam_width, head=head,
+        implementation=implementation,
+    )
     sr = t.sample_rate
     os.makedirs(out_dir, exist_ok=True)
 

@@ -59,6 +59,25 @@ def test_export_roundtrip(workdir, tmp_path):
         e.transcribe((rs.randn(40000) * 2000).astype(np.int16))
 
 
+def test_export_cross_platform(workdir, tmp_path):
+    """A tpu+cpu artifact forces the XLA implementation (Pallas only
+    lowers for TPU) and still calls correctly on the CPU backend."""
+    from phones_las_tpu.export import export_model
+
+    out = str(tmp_path / "exp_xp")
+    meta = export_model(
+        workdir, out, batch_sizes=[2], pad_seconds=[1.0],
+        platforms=["tpu", "cpu"],
+    )
+    assert meta["platforms"] == ["tpu", "cpu"]
+    rs = np.random.RandomState(2)
+    clip = (rs.randn(9000) * 2000).astype(np.int16)
+    assert (
+        ExportedTranscriber(out).transcribe(clip)
+        == Transcriber(workdir).transcribe(clip)
+    )
+
+
 def test_export_beam(workdir, tmp_path):
     out = str(tmp_path / "exp_beam")
     export_cli.main([
