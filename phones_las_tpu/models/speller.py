@@ -169,6 +169,10 @@ class SpellerCarry(NamedTuple):
 def init_speller_carry(
     cfg: SpellerConfig, batch: int, enc_len: int = 1, dtype=jnp.float32
 ) -> SpellerCarry:
+    # decoder state stays f32 even over a bf16 memory (production mode
+    # streams the encoder output bf16): speller_step's cell/attention
+    # math runs f32, so a low-precision carry would break scan typing
+    dtype = jnp.promote_types(dtype, jnp.float32)
     states = tuple(
         (jnp.zeros((batch, cfg.units), dtype), jnp.zeros((batch, cfg.units), dtype))
         for _ in range(cfg.num_layers)

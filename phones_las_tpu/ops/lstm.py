@@ -143,14 +143,14 @@ def _make_lstm_kernel(tc: int, reverse: bool, forget_bias: float, prec: str):
 
         steps = range(tc - 1, -1, -1) if reverse else range(tc)
         for tt in steps:
-            gates = xp_ref[tt] + _rec_dot(h_scr[:], wh_ref, prec)
+            gates = xp_ref[tt].astype(jnp.float32) + _rec_dot(h_scr[:], wh_ref, prec)
             h_new, c_new = _cell_math(gates, c_scr[:], forget_bias)
             m = mask_ref[tt][:, None]
             h_scr[:] = m * h_new + (1.0 - m) * h_scr[:]
             c_scr[:] = m * c_new + (1.0 - m) * c_scr[:]
-            out_ref[tt] = m * h_new
-        hfin_ref[:] = h_scr[:]
-        cfin_ref[:] = c_scr[:]
+            out_ref[tt] = (m * h_new).astype(out_ref.dtype)
+        hfin_ref[:] = h_scr[:].astype(hfin_ref.dtype)
+        cfin_ref[:] = c_scr[:].astype(cfin_ref.dtype)
 
     return kernel
 
@@ -206,9 +206,11 @@ def _recurrence_pallas(
             pl.BlockSpec((b, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            # in bf16 mode the streamed output block follows xp's dtype
+            # (half the HBM↔VMEM traffic); the tiny final states stay f32
             jax.ShapeDtypeStruct((t_pad, b, u), xp_tm.dtype),
-            jax.ShapeDtypeStruct((b, u), xp_tm.dtype),
-            jax.ShapeDtypeStruct((b, u), xp_tm.dtype),
+            jax.ShapeDtypeStruct((b, u), jnp.float32),
+            jax.ShapeDtypeStruct((b, u), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, u), jnp.float32),
@@ -238,8 +240,8 @@ def _make_bilstm_kernel(tc: int, forget_bias: float, prec: str):
 
         for tt in range(tc):
             tb = tc - 1 - tt  # backward direction's step within its block
-            gates_f = xpf_ref[tt] + _rec_dot(hf_scr[:], whf_ref, prec)
-            gates_b = xpb_ref[tb] + _rec_dot(hb_scr[:], whb_ref, prec)
+            gates_f = xpf_ref[tt].astype(jnp.float32) + _rec_dot(hf_scr[:], whf_ref, prec)
+            gates_b = xpb_ref[tb].astype(jnp.float32) + _rec_dot(hb_scr[:], whb_ref, prec)
             hf_new, cf_new = _cell_math(gates_f, cf_scr[:], forget_bias)
             hb_new, cb_new = _cell_math(gates_b, cb_scr[:], forget_bias)
             mf = maskf_ref[tt][:, None]
@@ -248,12 +250,12 @@ def _make_bilstm_kernel(tc: int, forget_bias: float, prec: str):
             cf_scr[:] = mf * cf_new + (1.0 - mf) * cf_scr[:]
             hb_scr[:] = mb * hb_new + (1.0 - mb) * hb_scr[:]
             cb_scr[:] = mb * cb_new + (1.0 - mb) * cb_scr[:]
-            outf_ref[tt] = mf * hf_new
-            outb_ref[tb] = mb * hb_new
-        hff[:] = hf_scr[:]
-        cff[:] = cf_scr[:]
-        hfb[:] = hb_scr[:]
-        cfb[:] = cb_scr[:]
+            outf_ref[tt] = (mf * hf_new).astype(outf_ref.dtype)
+            outb_ref[tb] = (mb * hb_new).astype(outb_ref.dtype)
+        hff[:] = hf_scr[:].astype(hff.dtype)
+        cff[:] = cf_scr[:].astype(cff.dtype)
+        hfb[:] = hb_scr[:].astype(hfb.dtype)
+        cfb[:] = cb_scr[:].astype(cfb.dtype)
 
     return kernel
 
@@ -311,10 +313,10 @@ def _recurrence_pallas_bidir(
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, b, u), xpf_tm.dtype),
             jax.ShapeDtypeStruct((t_pad, b, u), xpf_tm.dtype),
-            jax.ShapeDtypeStruct((b, u), xpf_tm.dtype),
-            jax.ShapeDtypeStruct((b, u), xpf_tm.dtype),
-            jax.ShapeDtypeStruct((b, u), xpf_tm.dtype),
-            jax.ShapeDtypeStruct((b, u), xpf_tm.dtype),
+            jax.ShapeDtypeStruct((b, u), jnp.float32),
+            jax.ShapeDtypeStruct((b, u), jnp.float32),
+            jax.ShapeDtypeStruct((b, u), jnp.float32),
+            jax.ShapeDtypeStruct((b, u), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b, u), jnp.float32) for _ in range(4)],
         interpret=interpret,
@@ -357,14 +359,14 @@ def _make_lstm_fwd_res_kernel(tc: int, reverse: bool, forget_bias: float,
         for tt in steps:
             hprev_ref[tt] = h_scr[:].astype(res_dtype)
             cprev_ref[tt] = c_scr[:].astype(res_dtype)
-            gates = xp_ref[tt] + _rec_dot(h_scr[:], wh_ref, prec)
+            gates = xp_ref[tt].astype(jnp.float32) + _rec_dot(h_scr[:], wh_ref, prec)
             h_new, c_new = _cell_math(gates, c_scr[:], forget_bias)
             m = mask_ref[tt][:, None]
             h_scr[:] = m * h_new + (1.0 - m) * h_scr[:]
             c_scr[:] = m * c_new + (1.0 - m) * c_scr[:]
-            out_ref[tt] = m * h_new
-        hfin_ref[:] = h_scr[:]
-        cfin_ref[:] = c_scr[:]
+            out_ref[tt] = (m * h_new).astype(out_ref.dtype)
+        hfin_ref[:] = h_scr[:].astype(hfin_ref.dtype)
+        cfin_ref[:] = c_scr[:].astype(cfin_ref.dtype)
 
     return kernel
 
@@ -405,7 +407,7 @@ def _make_lstm_bwd_kernel(tc: int, reverse: bool, forget_bias: float,
             cprev = cprev_ref[tt].astype(jnp.float32)
             # recompute gates with the SAME dot mode as the forward pass so
             # the VJP differentiates the function that actually ran
-            gates = xp_ref[tt] + _rec_dot(hprev, wh_ref, prec)
+            gates = xp_ref[tt].astype(jnp.float32) + _rec_dot(hprev, wh_ref, prec)
             gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
             si = jax.nn.sigmoid(gi)
             sf = jax.nn.sigmoid(gf + forget_bias)
@@ -414,14 +416,14 @@ def _make_lstm_bwd_kernel(tc: int, reverse: bool, forget_bias: float,
             c_new = sf * cprev + si * sg
             tch = jnp.tanh(c_new)
 
-            dh_tot = m * (dout_ref[tt] + dh_scr[:])
+            dh_tot = m * (dout_ref[tt].astype(jnp.float32) + dh_scr[:])
             dc_new = m * dc_scr[:] + dh_tot * so * (1.0 - tch * tch)
             do = dh_tot * tch * so * (1.0 - so)
             df = dc_new * cprev * sf * (1.0 - sf)
             di = dc_new * sg * si * (1.0 - si)
             dg = dc_new * si * (1.0 - sg * sg)
             dgates = jnp.concatenate([di, df, dg, do], axis=-1)
-            dxp_ref[tt] = dgates
+            dxp_ref[tt] = dgates.astype(dxp_ref.dtype)
             if prec == "bf16":  # f32 accumulation either way
                 dgates_d = dgates.astype(jnp.bfloat16)
                 hprev_d = hprev.astype(jnp.bfloat16)
@@ -485,8 +487,8 @@ def _recurrence_pallas_residual(
             jax.ShapeDtypeStruct((t_pad, b, u), xp_tm.dtype),
             jax.ShapeDtypeStruct((t_pad, b, u), res_dtype),
             jax.ShapeDtypeStruct((t_pad, b, u), res_dtype),
-            jax.ShapeDtypeStruct((b, u), xp_tm.dtype),
-            jax.ShapeDtypeStruct((b, u), xp_tm.dtype),
+            jax.ShapeDtypeStruct((b, u), jnp.float32),
+            jax.ShapeDtypeStruct((b, u), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, u), jnp.float32),
@@ -543,8 +545,10 @@ def _recurrence_pallas_bwd(
             pl.BlockSpec((u, four_u), fix, memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            # dxp follows xp's (possibly bf16) dtype; dWh accumulates and
+            # lands f32 regardless
             jax.ShapeDtypeStruct((t_pad, b, four_u), xp_tm.dtype),
-            jax.ShapeDtypeStruct((u, four_u), xp_tm.dtype),
+            jax.ShapeDtypeStruct((u, four_u), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, u), jnp.float32),
@@ -662,9 +666,16 @@ def lstm_layer(
     b, t, _ = x.shape
     xp = jnp.einsum("btd,dh->bth", x, params.wx) + params.b
     xp_tm = jnp.transpose(xp, (1, 0, 2))
-    mask_tm = jnp.transpose(length_mask(lengths, t, xp.dtype), (1, 0))
+    # mask stays f32 even over bf16 inputs (kernel gate math is f32, and
+    # Mosaic can't minor-dim-broadcast 16-bit vectors)
+    mask_tm = jnp.transpose(length_mask(lengths, t, jnp.float32), (1, 0))
     if implementation == "pallas":
         prec = resolve_rnn_precision(precision)
+        if prec == "bf16":
+            # production mode streams the 4U input block bf16: gate math
+            # still runs f32 in-kernel, but the dominant HBM↔VMEM stream
+            # (and the dxp/out streams, which follow xp's dtype) halve
+            xp_tm = xp_tm.astype(jnp.bfloat16)
         # large batches can't fit a >=8-step time chunk in VMEM; process
         # independent batch slices sequentially (identical results).
         max_b = 128
@@ -729,10 +740,13 @@ def bilstm_layer(
     xpb_tm = jnp.transpose(
         jnp.einsum("btd,dh->bth", x, bwd.wx) + bwd.b, (1, 0, 2)
     )
-    mask_tm = jnp.transpose(length_mask(lengths, t, x.dtype), (1, 0))
+    mask_tm = jnp.transpose(length_mask(lengths, t, jnp.float32), (1, 0))
 
     interp = _use_interpret()
     prec = resolve_rnn_precision(precision)
+    if prec == "bf16":  # see lstm_layer: halve the streamed blocks
+        xpf_tm = xpf_tm.astype(jnp.bfloat16)
+        xpb_tm = xpb_tm.astype(jnp.bfloat16)
     max_b = 64  # bidir streams double per-row VMEM; halve the chunk bound
     if b > max_b:
         outs, sts_f, sts_b = [], [], []
