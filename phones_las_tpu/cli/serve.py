@@ -43,13 +43,95 @@ class _Pending:
         self.error: Optional[str] = None
 
 
+class Metrics:
+    """Thread-safe serving counters, rendered in Prometheus text format
+    (``GET /metrics``). Stdlib-only, like the rest of the server."""
+
+    _LAT_BUCKETS = (0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0)
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests = {}          # (endpoint, status) → count
+        self.batches = 0
+        self.batched_requests = 0   # sum of per-batch fill
+        self.utt_seconds = 0.0
+        self.lat_buckets = [0] * (len(self._LAT_BUCKETS) + 1)
+        self.lat_sum = 0.0
+        self.lat_count = 0
+
+    def request(self, endpoint: str, status: int):
+        with self.lock:
+            k = (endpoint, status)
+            self.requests[k] = self.requests.get(k, 0) + 1
+
+    def batch(self, fill: int):
+        with self.lock:
+            self.batches += 1
+            self.batched_requests += fill
+
+    def audio(self, seconds: float):
+        with self.lock:
+            self.utt_seconds += seconds
+
+    def latency(self, seconds: float):
+        with self.lock:
+            for i, ub in enumerate(self._LAT_BUCKETS):
+                if seconds <= ub:
+                    self.lat_buckets[i] += 1
+                    break
+            else:
+                self.lat_buckets[-1] += 1
+            self.lat_sum += seconds
+            self.lat_count += 1
+
+    def render(self, extra_gauges=()) -> str:
+        with self.lock:
+            lines = [
+                "# TYPE plu_requests_total counter",
+            ]
+            for (ep, st), n in sorted(self.requests.items()):
+                lines.append(
+                    f'plu_requests_total{{endpoint="{ep}",status="{st}"}} {n}'
+                )
+            lines += [
+                "# TYPE plu_batches_total counter",
+                f"plu_batches_total {self.batches}",
+                "# TYPE plu_batched_requests_total counter",
+                f"plu_batched_requests_total {self.batched_requests}",
+                "# TYPE plu_audio_seconds_total counter",
+                f"plu_audio_seconds_total {self.utt_seconds:.3f}",
+                "# TYPE plu_request_latency_seconds histogram",
+            ]
+            acc = 0
+            for ub, n in zip(self._LAT_BUCKETS, self.lat_buckets):
+                acc += n
+                lines.append(
+                    f'plu_request_latency_seconds_bucket{{le="{ub}"}} {acc}'
+                )
+            lines.append(
+                f'plu_request_latency_seconds_bucket{{le="+Inf"}} '
+                f"{acc + self.lat_buckets[-1]}"
+            )
+            lines.append(
+                f"plu_request_latency_seconds_sum {self.lat_sum:.4f}"
+            )
+            lines.append(
+                f"plu_request_latency_seconds_count {self.lat_count}"
+            )
+            for name, value in extra_gauges:
+                lines.append(f"# TYPE {name} gauge")
+                lines.append(f"{name} {value}")
+            return "\n".join(lines) + "\n"
+
+
 class BatchingWorker:
     """Collects pending requests into micro-batches and transcribes each
     batch with one device dispatch."""
 
     def __init__(self, transcriber, max_batch: int = 16,
-                 batch_wait_ms: float = 20.0):
+                 batch_wait_ms: float = 20.0, metrics: "Metrics" = None):
         self.t = transcriber
+        self.metrics = metrics
         self.max_batch = max_batch
         self.wait_s = batch_wait_ms / 1000.0
         self.q: "queue.Queue[_Pending]" = queue.Queue()
@@ -86,6 +168,8 @@ class BatchingWorker:
                 batch = self._drain()
             except Exception:
                 continue
+            if self.metrics is not None:
+                self.metrics.batch(len(batch))
             try:
                 # pad to a fixed batch size so one compiled program (per
                 # pad quantum) serves all traffic — otherwise every
@@ -212,7 +296,8 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
 
     from phones_las_tpu.data.audio_io import read_audio
 
-    worker = BatchingWorker(transcriber, max_batch, batch_wait_ms)
+    metrics = Metrics()
+    worker = BatchingWorker(transcriber, max_batch, batch_wait_ms, metrics)
     sample_rate = transcriber._sample_rate
     sessions: Dict[str, StreamSession] = {}
     sessions_lock = threading.Lock()
@@ -223,6 +308,7 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
             pass
 
         def _json(self, code: int, obj):
+            self._last_status = code
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -238,6 +324,17 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                     "head": head,
                     "sample_rate": sample_rate,
                 })
+            elif self.path.startswith("/metrics"):
+                body = metrics.render(extra_gauges=[
+                    ("plu_queue_depth", worker.q.qsize()),
+                    ("plu_stream_sessions", len(sessions)),
+                ]).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 
@@ -307,6 +404,7 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                 toks = sess.feed(pcm)
             except AssertionError as e:
                 return self._json(400, {"error": str(e)})
+            metrics.audio(pcm.shape[0] / sample_rate)
             return self._json(200, {
                 "tokens": toks,
                 "buffered_seconds": round(
@@ -314,6 +412,21 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
             })
 
         def do_POST(self):
+            import time
+
+            t0 = time.monotonic()
+            self._last_status = 0
+            try:
+                self._handle_post()
+            finally:
+                ep = self.path.split("?")[0]
+                if ep.startswith("/stream/"):
+                    ep = "/stream"  # collapse session ids to one label
+                metrics.request(ep, self._last_status)
+                if self._last_status == 200:
+                    metrics.latency(time.monotonic() - t0)
+
+        def _handle_post(self):
             from urllib.parse import parse_qs, urlparse
 
             url = urlparse(self.path)
@@ -348,6 +461,7 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
             p.event.wait()
             if p.error is not None:
                 return self._json(500, {"error": p.error})
+            metrics.audio(pcm.shape[0] / sample_rate)
             self._json(200, {
                 "tokens": p.result,
                 "utt_seconds": round(pcm.shape[0] / sample_rate, 3),

@@ -84,6 +84,15 @@ def test_serve_roundtrip(tmp_path, workdir):
         assert code == 400 and "error" in res
         code, res = _post(base + "/transcribe?raw=1", b"")
         assert code == 400
+
+        # observability: Prometheus-text counters reflect the traffic above
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            text = r.read().decode()
+        assert 'plu_requests_total{endpoint="/transcribe",status="200"} 3' in text
+        assert 'status="400"' in text
+        assert "plu_batches_total" in text and "plu_queue_depth 0" in text
+        assert "plu_audio_seconds_total" in text
+        assert "plu_request_latency_seconds_count 3" in text
     finally:
         worker.stop()
         server.shutdown()
