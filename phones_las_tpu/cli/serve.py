@@ -218,6 +218,7 @@ class StreamSession:
         self.n_windows = 0      # windows decoded so far
         self.n_tokens = 0       # tokens emitted so far
         self.ended = False
+        self.last_used = 0.0    # monotonic time of the last feed (TTL sweep)
         self.lock = threading.Lock()
 
     def _audio(self) -> np.ndarray:
@@ -290,8 +291,21 @@ class StreamSession:
 
 
 def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
-                batch_wait_ms: float = 20.0, head: str = "phone"):
-    """→ (ThreadingHTTPServer, BatchingWorker). ``serve_forever()`` to run."""
+                batch_wait_ms: float = 20.0, head: str = "phone",
+                session_ttl_s: float = 600.0,
+                long_form_threshold_s: float = 40.0):
+    """→ (ThreadingHTTPServer, BatchingWorker). ``serve_forever()`` to run.
+
+    ``session_ttl_s``: streaming sessions whose client vanished without
+    ``/end`` are evicted after this idle time (otherwise abandoned
+    sessions pin the ``max_sessions`` cap forever).
+    ``long_form_threshold_s``: ``/transcribe`` uploads longer than this
+    are routed through the sliding-window long-form path — a one-shot
+    decode of a much-longer-than-training utterance would silently
+    truncate at the decode cap (0 disables).
+    """
+    import time as _time
+
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from phones_las_tpu.data.audio_io import read_audio
@@ -302,6 +316,14 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
     sessions: Dict[str, StreamSession] = {}
     sessions_lock = threading.Lock()
     max_sessions = 256
+
+    def _evict_idle_sessions():
+        if session_ttl_s <= 0:
+            return
+        cutoff = _time.monotonic() - session_ttl_s
+        with sessions_lock:
+            for sid in [s for s, v in sessions.items() if v.last_used < cutoff]:
+                del sessions[sid]
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet access log
@@ -360,22 +382,25 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
             """
             parts = url.path.split("/")  # ['', 'stream', ...]
             if parts[2:] == ["start"]:
+                import time
                 import uuid
 
+                _evict_idle_sessions()
                 with sessions_lock:
                     if len(sessions) >= max_sessions:
                         return self._json(429, {"error": "too many sessions"})
                     sid = uuid.uuid4().hex[:16]
                     try:
-                        sessions[sid] = StreamSession(
+                        sess = StreamSession(
                             transcriber,
                             window_seconds=float(
                                 qs.get("window_s", ["20"])[-1]),
                             overlap_seconds=float(
                                 qs.get("overlap_s", ["2"])[-1]),
                         )
-                        sessions[sid].rate = int(
-                            qs.get("rate", [sample_rate])[-1])
+                        sess.rate = int(qs.get("rate", [sample_rate])[-1])
+                        sess.last_used = time.monotonic()
+                        sessions[sid] = sess
                     except (AssertionError, ValueError) as e:
                         return self._json(400, {"error": f"bad params: {e}"})
                 return self._json(200, {"id": sid})
@@ -404,6 +429,9 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                 toks = sess.feed(pcm)
             except AssertionError as e:
                 return self._json(400, {"error": str(e)})
+            import time
+
+            sess.last_used = time.monotonic()
             metrics.audio(pcm.shape[0] / sample_rate)
             return self._json(200, {
                 "tokens": toks,
@@ -457,13 +485,26 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                 return self._json(400, {"error": f"decode failed: {e}"})
             if pcm.size == 0:
                 return self._json(400, {"error": "no samples"})
-            p = worker.submit(pcm)
-            p.event.wait()
-            if p.error is not None:
-                return self._json(500, {"error": p.error})
+            if (
+                long_form_threshold_s > 0
+                and pcm.shape[0] > long_form_threshold_s * sample_rate
+            ):
+                # one-shot decode of a much-longer-than-training upload
+                # would truncate at the decode cap; use the sliding-window
+                # path (dispatched directly — it batches its own windows)
+                try:
+                    tokens = transcriber.transcribe_long(pcm)
+                except Exception as e:
+                    return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            else:
+                p = worker.submit(pcm)
+                p.event.wait()
+                if p.error is not None:
+                    return self._json(500, {"error": p.error})
+                tokens = p.result
             metrics.audio(pcm.shape[0] / sample_rate)
             self._json(200, {
-                "tokens": p.result,
+                "tokens": tokens,
                 "utt_seconds": round(pcm.shape[0] / sample_rate, 3),
             })
 
@@ -489,6 +530,11 @@ def main(argv=None):
                    help="micro-batch cap per device dispatch")
     p.add_argument("--batch-wait-ms", type=float, default=20.0,
                    help="how long to hold a batch open for more requests")
+    p.add_argument("--session-ttl-s", type=float, default=600.0,
+                   help="evict /stream sessions idle this long (0 = never)")
+    p.add_argument("--long-form-threshold-s", type=float, default=40.0,
+                   help="/transcribe uploads longer than this go through "
+                        "the sliding-window long-form path (0 = never)")
     p.add_argument("--beam-width", type=int, default=None)
     p.add_argument("--head", default="phone", choices=["phone", "grapheme"])
     p.add_argument("--implementation", default="auto",
@@ -517,6 +563,8 @@ def main(argv=None):
     server, _ = make_server(
         t, args.host, args.port, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, head=args.head,
+        session_ttl_s=args.session_ttl_s,
+        long_form_threshold_s=args.long_form_threshold_s,
     )
     print(f"serving {args.workdir} on {args.host}:{args.port} "
           f"(max_batch={args.max_batch}, wait={args.batch_wait_ms}ms)")

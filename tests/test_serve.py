@@ -133,6 +133,59 @@ def test_stream_session_matches_transcribe_long(workdir):
     assert sess.end() == []
 
 
+def test_long_upload_routes_to_long_form(workdir):
+    """/transcribe uploads beyond the threshold must go through the
+    sliding-window path (a one-shot decode would truncate at the cap)."""
+    t = Transcriber(workdir)
+    rs = np.random.RandomState(6)
+    audio = (rs.randn(3 * 16000) * 2000).astype(np.int16)
+    expected = t.transcribe_long(audio)
+
+    server, worker = make_server(
+        t, "127.0.0.1", 0, max_batch=2, long_form_threshold_s=1.0
+    )
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        code, res = _post(base + "/transcribe?raw=1", audio.tobytes())
+        assert code == 200, res
+        assert res["tokens"] == expected
+        # short upload still uses the micro-batch path
+        code, res = _post(base + "/transcribe?raw=1", audio[:8000].tobytes())
+        assert code == 200 and res["tokens"] == t.transcribe(audio[:8000])
+    finally:
+        worker.stop()
+        server.shutdown()
+
+
+def test_stream_session_ttl_eviction(workdir):
+    t = Transcriber(workdir)
+    server, worker = make_server(
+        t, "127.0.0.1", 0, max_batch=2, session_ttl_s=0.05
+    )
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        import time
+
+        base = f"http://127.0.0.1:{port}"
+        code, res = _post(base + "/stream/start", b"")
+        assert code == 200
+        stale = res["id"]
+        time.sleep(0.2)
+        # starting a new session sweeps the idle one
+        code, res = _post(base + "/stream/start", b"")
+        assert code == 200
+        code, _ = _post(base + f"/stream/{stale}", b"\x00\x00")
+        assert code == 404  # evicted
+        code, _ = _post(base + f"/stream/{res['id']}", b"\x00\x00")
+        assert code == 200  # fresh one still alive
+    finally:
+        worker.stop()
+        server.shutdown()
+
+
 def test_stream_http_endpoints(workdir):
     t = Transcriber(workdir)
     rs = np.random.RandomState(4)
