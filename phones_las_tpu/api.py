@@ -58,6 +58,7 @@ class Transcriber:
         implementation: str = "auto",
         max_device_batch: int = 64,
         data_parallel: int = 1,
+        average_checkpoints: int = 1,
     ):
         import dataclasses
 
@@ -92,6 +93,12 @@ class Transcriber:
         )
         assert int(trainer.state.step) > 0, f"no checkpoint in {workdir}"
         self.params = trainer.state.params
+        if average_checkpoints > 1:
+            from phones_las_tpu.train.checkpoint import load_averaged_params
+
+            self.params, _ = load_averaged_params(
+                workdir, trainer.state, average_checkpoints
+            )
         # multi-chip DP inference (BASELINE configs[4] shape): waves carry
         # data_parallel × max_device_batch utterances with the batch axis
         # sharded over a ('data',) mesh; decode is embarrassingly parallel

@@ -92,7 +92,15 @@ def resolve_preset(
     for k, v in (overrides or {}).items():
         if v is None:
             continue
-        if k == "frontend_precision":
+        if k == "specaugment":
+            from phones_las_tpu.frontend.specaugment import SpecAugmentConfig
+
+            sa = (
+                v if isinstance(v, SpecAugmentConfig)
+                else SpecAugmentConfig(**(v if isinstance(v, dict) else {}))
+            )
+            model = dataclasses.replace(model, specaugment=sa)
+        elif k == "frontend_precision":
             model = dataclasses.replace(
                 model,
                 frontend=dataclasses.replace(model.frontend, precision=v),

@@ -32,6 +32,9 @@ def main(argv=None):
                         "batch (greedy only; the reference's TensorBoard "
                         "alignment images, for offline inspection)")
     p.add_argument("--implementation", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--average-checkpoints", type=int, default=1, metavar="K",
+                   help="decode with the mean of the newest K checkpoints "
+                        "(checkpoint averaging; 1 = latest only)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -75,6 +78,13 @@ def main(argv=None):
                       binf_codes=binf_codes, implementation=args.implementation)
     assert int(trainer.state.step) > 0, f"no checkpoint in {args.workdir}"
     params = trainer.state.params
+    if args.average_checkpoints > 1:
+        from phones_las_tpu.train.checkpoint import load_averaged_params
+
+        params, used = load_averaged_params(
+            args.workdir, trainer.state, args.average_checkpoints
+        )
+        print(f"averaged {len(used)} checkpoints: steps {used}")
     model_cfg = preset.model
 
     mesh = None

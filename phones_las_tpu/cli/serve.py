@@ -545,6 +545,8 @@ def main(argv=None):
                         "sharded over a ('data',) mesh, so one server "
                         "drives the whole slice instead of one server "
                         "per chip")
+    p.add_argument("--average-checkpoints", type=int, default=1, metavar="K",
+                   help="serve the mean of the newest K checkpoints")
     args = p.parse_args(argv)
 
     from phones_las_tpu.api import Transcriber
@@ -552,6 +554,7 @@ def main(argv=None):
     t = Transcriber(
         args.workdir, beam_width=args.beam_width, head=args.head,
         implementation=args.implementation, data_parallel=args.data_parallel,
+        average_checkpoints=args.average_checkpoints,
     )
     if t.data_parallel > 1 and args.max_batch % t.data_parallel != 0:
         p.error(f"--max-batch {args.max_batch} must be a multiple of "

@@ -41,6 +41,14 @@ def main(argv=None):
     p.add_argument("--attention-units", type=int, default=None)
     p.add_argument("--dropout", type=float, default=None)
     p.add_argument("--sampling-probability", type=float, default=None)
+    p.add_argument("--specaugment", action="store_true",
+                   help="enable on-device SpecAugment during training "
+                        "(beyond-parity; frontend/specaugment.py)")
+    p.add_argument("--sa-freq-masks", type=int, default=2)
+    p.add_argument("--sa-freq-width", type=int, default=10)
+    p.add_argument("--sa-time-masks", type=int, default=2)
+    p.add_argument("--sa-time-width", type=int, default=50)
+    p.add_argument("--sa-time-ratio", type=float, default=0.2)
     p.add_argument("--multitask-weight", type=float, default=None)
     p.add_argument("--clip-norm", type=float, default=None)
     p.add_argument("--init-checkpoint", default=None,
@@ -119,6 +127,17 @@ def main(argv=None):
         "multitask_weight": args.multitask_weight,
         "clip_norm": args.clip_norm,
         "frontend_precision": args.frontend_precision,
+        "specaugment": (
+            {
+                "freq_masks": args.sa_freq_masks,
+                "freq_mask_width": args.sa_freq_width,
+                "time_masks": args.sa_time_masks,
+                "time_mask_width": args.sa_time_width,
+                "time_mask_ratio": args.sa_time_ratio,
+            }
+            if args.specaugment
+            else None
+        ),
     }
     preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(
         args.preset, args.data, overrides

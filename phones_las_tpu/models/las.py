@@ -19,6 +19,7 @@ import numpy as np
 
 from phones_las_tpu.frontend.features import FrontendConfig, extract_features, num_frames
 from phones_las_tpu.frontend.cmvn import apply_cmvn
+from phones_las_tpu.frontend.specaugment import SpecAugmentConfig, apply_specaugment
 from phones_las_tpu.models.listener import (
     ListenerConfig,
     ListenerParams,
@@ -43,6 +44,10 @@ class LASConfig:
     grapheme_speller: Optional[SpellerConfig] = None
     multitask_weight: float = 0.5  # loss = w·phone + (1-w)·grapheme
     binf_weight: float = 1.0  # weight of the auxiliary binf sigmoid CE
+    # train-time spectrogram augmentation (beyond-parity; the reference
+    # has none). Applied on device inside the jitted train step, after
+    # CMVN, before the listener. None → off.
+    specaugment: Optional[SpecAugmentConfig] = None
     # whether model input is raw PCM (device-resident front-end) or
     # precomputed features (reference-style ingestion path)
     input_is_pcm: bool = True
@@ -154,6 +159,12 @@ def encode(
     feats, flens = featurize(
         params, cfg, audio, audio_lengths, implementation=implementation
     )
+    if train and cfg.specaugment is not None and dropout_rng is not None:
+        blocks = 3 if cfg.frontend.add_deltas else 1
+        feats = apply_specaugment(
+            jax.random.fold_in(dropout_rng, 0x5A), feats, flens,
+            cfg.specaugment, feats.shape[-1] // blocks,
+        )
     memory, enc_lens = listen(
         params.listener,
         cfg.listener,

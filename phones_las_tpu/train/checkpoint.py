@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from typing import Any, Optional, Tuple
 
+import jax
 import orbax.checkpoint as ocp
 
 
@@ -59,6 +60,33 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def load_averaged_params(
+    workdir: str, abstract_state: Any, last_k: int
+) -> Tuple[Any, list]:
+    """Checkpoint averaging: mean of the params of the newest ``last_k``
+    checkpoints → (params, steps_used).
+
+    A standard ASR deployment trick the reference lacks (its infer.py
+    always takes ``latest_checkpoint`` — SURVEY.md §4.3): averaging the
+    tail of training smooths SGD noise and typically buys a small PER
+    improvement for free. Non-trainable leaves (CMVN stats, binf codes)
+    are identical across checkpoints, so the mean is a no-op for them.
+    """
+    assert last_k >= 1, last_k
+    mgr = CheckpointManager(workdir)
+    steps = sorted(mgr._mgr.all_steps())
+    assert steps, f"no checkpoint in {workdir}"
+    use = steps[-last_k:]
+    acc = None
+    for s in use:
+        state, _ = mgr.restore(abstract_state, s)
+        p = state.params
+        acc = p if acc is None else jax.tree.map(lambda a, b: a + b, acc, p)
+    mgr.close()
+    n = float(len(use))
+    return jax.tree.map(lambda a: a / n, acc), use
 
 
 def load_params_for_warm_start(
