@@ -13,6 +13,7 @@
 //   int  plu_read_batch(...);   // see below
 //   void plu_close(void* h);
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -20,6 +21,7 @@
 #include <string>
 #include <sys/mman.h>
 #include <sys/stat.h>
+#include <thread>
 #include <unistd.h>
 #include <vector>
 
@@ -139,23 +141,23 @@ int plu_lengths(void* h, long long* out) {
 //   targets          [count, target_stride] int32, <eos>-terminated
 //   target_lengths   [count] (includes <eos>)
 //   graphemes/…      optional (pass NULL to skip), same convention
+// `n_threads` > 1 splits the row fill across that many threads
+// (row-interleaved; rows write disjoint slices, the mmap is read-only).
 int plu_read_batch(void* h, const long long* indices, int count,
                    int16_t* audio, long long audio_stride, int* audio_lengths,
                    int32_t* targets, long long target_stride, int eos_id, int pad_id,
                    int* target_lengths,
                    int32_t* graphemes, long long grapheme_stride, int* grapheme_lengths,
+                   int n_threads,
                    char* err, int errlen) {
   Reader* r = (Reader*)h;
   if (audio_stride < 1 || target_stride < 2 || (graphemes && grapheme_stride < 2)) {
     set_err(err, errlen, "bad stride");
     return 1;
   }
-  RecordView v;
-  for (int i = 0; i < count; i++) {
-    if (!parse_record(r, indices[i], &v)) {
-      set_err(err, errlen, "bad record index " + std::to_string(indices[i]));
-      return 1;
-    }
+  auto fill_row = [&](int i) -> bool {
+    RecordView v;
+    if (!parse_record(r, indices[i], &v)) return false;
     long long ns = v.n_samples < (uint32_t)audio_stride ? v.n_samples : audio_stride;
     memset(audio + i * audio_stride, 0, audio_stride * 2);
     memcpy(audio + i * audio_stride, v.audio, ns * 2);
@@ -175,6 +177,39 @@ int plu_read_batch(void* h, const long long* indices, int count,
       memcpy(grow, v.graphemes, ng * 4);
       grow[ng] = eos_id;
       grapheme_lengths[i] = (int)(ng + 1);
+    }
+    return true;
+  };
+
+  if (n_threads > 1 && count > 1) {
+    // Rows are independent (disjoint output slices over a read-only
+    // mmap), so the fill parallelizes trivially. This is the multi-chip
+    // serving feed path: one chip consumes ~5.7k utt/s and the serial
+    // fill measures ~6.6k utt/s, so an N-chip DP server needs ~N cores
+    // here to stay ahead of the mesh.
+    if (n_threads > count) n_threads = count;
+    std::atomic<long long> bad_index{-1};
+    std::vector<std::thread> workers;
+    workers.reserve(n_threads);
+    for (int t = 0; t < n_threads; t++) {
+      workers.emplace_back([&, t]() {
+        for (int i = t; i < count; i += n_threads) {
+          if (!fill_row(i)) { bad_index.store(indices[i]); return; }
+        }
+      });
+    }
+    for (auto& w : workers) w.join();
+    if (bad_index.load() >= 0) {
+      set_err(err, errlen, "bad record index " + std::to_string(bad_index.load()));
+      return 1;
+    }
+    return 0;
+  }
+
+  for (int i = 0; i < count; i++) {
+    if (!fill_row(i)) {
+      set_err(err, errlen, "bad record index " + std::to_string(indices[i]));
+      return 1;
     }
   }
   return 0;

@@ -55,7 +55,8 @@ def ensure_built(src_name: str, so_name: str) -> Optional[str]:
         with open(stamp) as f:
             if f.read().strip() == f"{src_digest} {sha(so)}":
                 return so
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", so, src, "-ldl"]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           "-o", so, src, "-ldl"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:

@@ -49,6 +49,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_int,
             ctypes.c_char_p, ctypes.c_int,
         ]
         lib.plu_close.argtypes = [ctypes.c_void_p]
@@ -93,7 +94,13 @@ class NativeRecordReader:
         pad_id: int,
         graphemes: Optional[np.ndarray] = None,
         grapheme_lengths: Optional[np.ndarray] = None,
+        n_threads: Optional[int] = None,
     ) -> None:
+        """``n_threads=None`` → one fill thread per core (capped at 8):
+        the multi-chip serving feed needs ~1 core per chip to outpace the
+        mesh (csrc/plu_records.cc); single-core hosts stay serial."""
+        if n_threads is None:
+            n_threads = min(8, os.cpu_count() or 1)
         idx = np.ascontiguousarray(indices, np.int64)
         err = ctypes.create_string_buffer(256)
         vp = lambda a: a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
@@ -103,6 +110,7 @@ class NativeRecordReader:
             vp(targets), targets.shape[1], eos_id, pad_id, vp(target_lengths),
             vp(graphemes), graphemes.shape[1] if graphemes is not None else 0,
             vp(grapheme_lengths),
+            int(n_threads),
             err, 256,
         )
         if rc != 0:

@@ -52,6 +52,44 @@ def test_native_matches_python(corpus):
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+def test_threaded_fill_matches_serial(corpus):
+    from phones_las_tpu.data.native_records import NativeRecordReader
+
+    if not NativeRecordReader.available():
+        pytest.skip("no C++ compiler")
+    r = NativeRecordReader(corpus[0])
+    idx = np.asarray([0, 3, 8, 1, 1, 7], np.int64)
+    b, s, l, g = len(idx), 512, 8, 6
+
+    def fill(n_threads):
+        audio = np.full((b, s), 7, np.int16)
+        alen = np.zeros(b, np.int32)
+        tgt = np.zeros((b, l), np.int32)
+        tlen = np.zeros(b, np.int32)
+        gra = np.zeros((b, g), np.int32)
+        glen = np.zeros(b, np.int32)
+        r.read_batch(idx, audio, alen, tgt, tlen, eos_id=2, pad_id=0,
+                     graphemes=gra, grapheme_lengths=glen,
+                     n_threads=n_threads)
+        return audio, alen, tgt, tlen, gra, glen
+
+    serial = fill(1)
+    for nt in (2, 4, 16):  # 16 > batch exercises the clamp
+        for a, b_ in zip(serial, fill(nt)):
+            np.testing.assert_array_equal(a, b_)
+
+    # errors surface from worker threads too
+    bad = np.asarray([0, 10**6], np.int64)
+    audio = np.zeros((2, s), np.int16)
+    alen = np.zeros(2, np.int32)
+    tgt = np.zeros((2, l), np.int32)
+    tlen = np.zeros(2, np.int32)
+    with pytest.raises(ValueError, match="bad record index"):
+        r.read_batch(bad, audio, alen, tgt, tlen, eos_id=2, pad_id=0,
+                     n_threads=4)
+    r.close()
+
+
 def test_native_lengths(corpus):
     from phones_las_tpu.data.native_records import NativeRecordReader
     from phones_las_tpu.data.records import RecordReader
