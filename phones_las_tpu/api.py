@@ -59,6 +59,8 @@ class Transcriber:
         max_device_batch: int = 64,
         data_parallel: int = 1,
         average_checkpoints: int = 1,
+        lm: Optional[str] = None,
+        lm_weight: float = 0.3,
     ):
         import dataclasses
 
@@ -124,6 +126,14 @@ class Transcriber:
         self.impl = trainer.implementation
         self.beam = beam_width if beam_width is not None else preset.beam_width
         self.length_penalty = length_penalty
+        # shallow-fusion n-gram LM (decode/lm.py; beam decoding only)
+        self.lm_logp = None
+        self.lm_weight = float(lm_weight)
+        if lm is not None:
+            assert self.beam, "lm fusion requires beam decoding (beam_width > 0)"
+            from phones_las_tpu.decode.lm import load_lm
+
+            self.lm_logp = jax.numpy.asarray(load_lm(lm))
         if head == "grapheme":
             assert preset.model.grapheme_speller is not None
             self.speller_cfg = preset.model.grapheme_speller
@@ -173,6 +183,7 @@ class Transcriber:
 
         cfg, sp_cfg, beam = self.model_cfg, self.speller_cfg, self.beam
         get_sp, max_steps, lp = self._speller, self.max_steps, self.length_penalty
+        lm_logp, lm_w = self.lm_logp, self.lm_weight
         # fused VMEM-resident decoder wins only in its single-group
         # low-latency niche (see decode/pallas_greedy.py)
         use_fused = (
@@ -190,6 +201,7 @@ class Transcriber:
                     res = beam_decode(
                         get_sp(params), sp_cfg, memory, enc_mask, max_steps,
                         beam_width=beam, length_penalty=lp,
+                        lm_logp=lm_logp, lm_weight=lm_w,
                     )
                     return res.tokens, res.lengths
                 if use_fused:
@@ -258,6 +270,7 @@ class Transcriber:
 
         cfg, sp_cfg, beam = self.model_cfg, self.speller_cfg, self.beam
         get_sp, lp = self._speller, self.length_penalty
+        lm_logp, lm_w = self.lm_logp, self.lm_weight
 
         @jax.jit
         def fn(params, audio, lengths):
@@ -269,6 +282,7 @@ class Transcriber:
                     res = beam_decode(
                         get_sp(params), sp_cfg, memory, enc_mask, max_steps,
                         beam_width=beam, length_penalty=lp,
+                        lm_logp=lm_logp, lm_weight=lm_w,
                     )
                     return res.tokens, res.lengths, res.peaks
                 toks, lens, aligns = greedy_decode(

@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--average-checkpoints", type=int, default=1, metavar="K",
                    help="decode with the mean of the newest K checkpoints "
                         "(checkpoint averaging; 1 = latest only)")
+    p.add_argument("--lm", default=None, metavar="LM.npz",
+                   help="n-gram LM (cli.lm) for shallow-fusion beam decoding")
+    p.add_argument("--lm-weight", type=float, default=0.3)
     args = p.parse_args(argv)
 
     import dataclasses
@@ -109,6 +112,17 @@ def main(argv=None):
 
     want_aligns = bool(args.dump_alignments) and not beam
 
+    lm_logp = None
+    if args.lm:
+        assert beam, "--lm requires beam decoding (set --beam-width > 0)"
+        from phones_las_tpu.decode.lm import load_lm
+
+        lm_logp = jax.numpy.asarray(load_lm(args.lm))
+        assert lm_logp.shape[-1] == speller_cfg.vocab_size, (
+            f"LM vocab {lm_logp.shape[-1]} != model vocab "
+            f"{speller_cfg.vocab_size}"
+        )
+
     @jax.jit
     def infer_fn(params, audio, lengths):
         with jax.default_matmul_precision(model_cfg.matmul_precision):
@@ -120,6 +134,7 @@ def main(argv=None):
                     get_speller(params), speller_cfg, memory, enc_mask,
                     max_steps, beam_width=beam,
                     length_penalty=args.length_penalty,
+                    lm_logp=lm_logp, lm_weight=args.lm_weight,
                 )
                 return res.tokens, res.lengths, None, enc_lens
             toks, lens, aligns = greedy_decode(

@@ -547,6 +547,9 @@ def main(argv=None):
                         "per chip")
     p.add_argument("--average-checkpoints", type=int, default=1, metavar="K",
                    help="serve the mean of the newest K checkpoints")
+    p.add_argument("--lm", default=None, metavar="LM.npz",
+                   help="shallow-fusion n-gram LM (beam decoding only)")
+    p.add_argument("--lm-weight", type=float, default=0.3)
     args = p.parse_args(argv)
 
     from phones_las_tpu.api import Transcriber
@@ -555,6 +558,7 @@ def main(argv=None):
         args.workdir, beam_width=args.beam_width, head=args.head,
         implementation=args.implementation, data_parallel=args.data_parallel,
         average_checkpoints=args.average_checkpoints,
+        lm=args.lm, lm_weight=args.lm_weight,
     )
     if t.data_parallel > 1 and args.max_batch % t.data_parallel != 0:
         p.error(f"--max-batch {args.max_batch} must be a multiple of "

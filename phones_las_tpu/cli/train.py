@@ -29,6 +29,8 @@ def main(argv=None):
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--eval-every", type=int, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="checkpoint cadence in steps (preset default 1000)")
     # model hyperparameters (reference flag semantics, SURVEY §6)
     p.add_argument("--encoder-layers", type=int, default=None)
     p.add_argument("--encoder-units", type=int, default=None)
@@ -115,6 +117,7 @@ def main(argv=None):
         "learning_rate": args.learning_rate,
         "batch_size": args.batch_size,
         "eval_every": args.eval_every,
+        "checkpoint_every": args.checkpoint_every,
         "encoder_layers": args.encoder_layers,
         "encoder_units": args.encoder_units,
         "decoder_layers": args.decoder_layers,

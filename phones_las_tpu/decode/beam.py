@@ -73,6 +73,8 @@ def beam_decode(
     max_steps: int,
     beam_width: int = 8,
     length_penalty: float = 0.0,
+    lm_logp: jnp.ndarray = None,  # [V,V] or [V,V,V] n-gram table (decode.lm)
+    lm_weight: float = 0.0,
 ) -> BeamResult:
     b, t_enc, m = memory.shape
     k = beam_width
@@ -90,17 +92,26 @@ def beam_decode(
     fin0 = jnp.zeros((b, k), bool)
     len0 = jnp.zeros((b, k), jnp.int32)
     prev0 = jnp.full((b, k), cfg.bos_id, jnp.int32)
+    prev2_0 = jnp.full((b, k), cfg.bos_id, jnp.int32)  # trigram-LM context
     # finished-beam continuation row: <eos> at logp 0, rest impossible
     eos_row = jnp.full((v,), _NEG, jnp.float32).at[cfg.eos_id].set(0.0)
+    use_lm = lm_logp is not None and lm_weight != 0.0
 
     def step(state, _):
-        carry, logp, finished, lengths, prev = state
+        carry, logp, finished, lengths, prev, prev2 = state
         emb = embed_tokens(params, cfg, prev)  # [B, K, E]
         carry, logits, extras = speller_step(
             params, cfg, carry, emb, keys, memory, enc_mask
         )
         peak = jnp.argmax(extras["probs"], axis=-1).astype(jnp.int32)  # [B, K]
         step_logp = jax.nn.log_softmax(logits, axis=-1)  # [B, K, V]
+        if use_lm:
+            # shallow fusion: acoustic + λ·LM, one static gather per step
+            from phones_las_tpu.decode.lm import lm_step_scores
+
+            step_logp = step_logp + lm_weight * lm_step_scores(
+                lm_logp, prev, prev2
+            )
         step_logp = jnp.where(finished[..., None], eos_row, step_logp)
 
         total = logp[..., None] + step_logp  # [B, K, V]
@@ -119,10 +130,15 @@ def beam_decode(
         new_len = parent_len + jnp.where(new_fin, 0, 1)
         # the step's attention peak belongs to the *parent* beam's step
         step_peak = jnp.take_along_axis(peak, parent, axis=1)
-        return (carry, new_logp, new_fin, new_len, tok), (tok, parent, step_peak)
+        # the new beam's previous-previous token = its parent's last token
+        new_prev2 = jnp.take_along_axis(prev, parent, axis=1)
+        return (
+            (carry, new_logp, new_fin, new_len, tok, new_prev2),
+            (tok, parent, step_peak),
+        )
 
-    state0 = (carry0, logp0, fin0, len0, prev0)
-    (_, logp, finished, lengths, _), (toks_s, parents_s, peaks_s) = jax.lax.scan(
+    state0 = (carry0, logp0, fin0, len0, prev0, prev2_0)
+    (_, logp, finished, lengths, _, _), (toks_s, parents_s, peaks_s) = jax.lax.scan(
         step, state0, None, length=max_steps
     )
 
