@@ -401,6 +401,66 @@ class Transcriber:
         ids = merge_window_hypotheses(per_window, starts, ov)
         return self.vocab.decode(np.asarray(ids, np.int32))
 
+    def align(self, audio: np.ndarray, tokens: Sequence) -> List:
+        """Forced alignment: timestamp each reference token in the audio.
+
+        Teacher-forces the decoder on the given token sequence and reads
+        each step's attention-peak encoder frame back through the pyramid
+        stride and front-end hop (the same timestamp recovery the
+        long-form stitcher uses). The reference has no aligner at all —
+        this turns the LAS attention into one for free.
+
+        → ``[(token, time_seconds), ...]``, one entry per input token;
+        ``time`` is the attention-peak (acoustic center) of the token.
+        Beyond-parity; accuracy follows attention quality (sharp diagonal
+        alignments → good timestamps; see the alignment-image summaries).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        tokens = list(tokens)
+        as_strings = len(tokens) > 0 and isinstance(tokens[0], str)
+        ids = (
+            np.asarray(self.vocab.encode(tokens), np.int32)
+            if as_strings
+            else np.asarray(tokens, np.int32)
+        )
+        n = int(ids.shape[0])
+        assert n > 0, "align needs at least one token"
+        audio = np.asarray(audio)
+        key = ("align", audio.shape[0], n)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            from phones_las_tpu.models.las import encode
+            from phones_las_tpu.models.speller import teacher_forced_decode
+
+            cfg, sp_cfg, get_sp = self.model_cfg, self.speller_cfg, self._speller
+
+            @jax.jit
+            def fn(params, audio_b, lengths, dec_in):
+                with jax.default_matmul_precision(cfg.matmul_precision):
+                    memory, _, enc_mask = encode(
+                        params, cfg, audio_b, lengths, implementation=self.impl
+                    )
+                    _, probs, _ = teacher_forced_decode(
+                        get_sp(params), sp_cfg, dec_in, memory, enc_mask
+                    )
+                    return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+            self._jit_cache[key] = fn
+        dec_in = np.concatenate(
+            [[self.speller_cfg.bos_id], ids[:-1]]
+        ).astype(np.int32)[None, :]
+        lengths = np.asarray([audio.shape[0]], np.int32)
+        peaks = np.asarray(
+            fn(self.params, audio[None, :], lengths, dec_in)
+        )[0]  # [n] encoder frames
+        fs = self.frame_samples() / self._sample_rate
+        toks = (
+            tokens if as_strings else self.vocab.decode(ids, strip_specials=False)
+        )
+        return [(t, float((p + 0.5) * fs)) for t, p in zip(toks, peaks)]
+
     @property
     def sample_rate(self) -> int:
         return self._sample_rate

@@ -55,3 +55,14 @@ def test_transcriber_and_beam_eval(tmp_path):
     tr = Trainer(preset.model, preset.train, workdir=wd)
     ev = tr.evaluate(src.epoch(0), max_steps=10, beam_width=2)
     assert 0.0 <= ev["per"] <= 2.0 and ev["ref_tokens"] > 0
+
+    # forced alignment: one (token, time) per reference token, times
+    # monotone-boundable within the utterance, string/id inputs agree
+    ref_toks = vocab.decode(np.asarray(vocab.encode(["ph0", "ph1", "ph2"])))
+    out = t.align(pcm, ref_toks)
+    assert [tok for tok, _ in out] == ref_toks
+    dur = len(pcm) / t.sample_rate
+    for _, tm in out:
+        assert 0.0 <= tm <= dur + 0.1
+    out_ids = t.align(pcm, np.asarray(vocab.encode(ref_toks), np.int32))
+    assert [tm for _, tm in out_ids] == [tm for _, tm in out]
