@@ -36,6 +36,11 @@ def main(argv=None):
     p.add_argument("--output", default=None, help="write TSV here instead of stdout")
     p.add_argument("--implementation", default="auto",
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--average-checkpoints", type=int, default=1, metavar="K",
+                   help="decode with the mean of the newest K checkpoints")
+    p.add_argument("--lm", default=None, metavar="LM.npz",
+                   help="shallow-fusion n-gram LM (beam decoding only)")
+    p.add_argument("--lm-weight", type=float, default=0.3)
     args = p.parse_args(argv)
 
     import sys
@@ -49,6 +54,8 @@ def main(argv=None):
         args.workdir, beam_width=args.beam_width,
         length_penalty=args.length_penalty, head=args.head,
         implementation=args.implementation,
+        average_checkpoints=args.average_checkpoints,
+        lm=args.lm, lm_weight=args.lm_weight,
     )
 
     if args.long_form:

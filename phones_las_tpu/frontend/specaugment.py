@@ -55,6 +55,7 @@ def _interval_masks(rng, n_masks: int, widths_max, span, total: int, batch: int)
         jnp.asarray(span, jnp.float32).reshape(-1, 1), (batch, n_masks)
     )
     w = jnp.floor(u_w * (widths_max + 1.0))  # [B, M] in {0..widths_max}
+    w = jnp.minimum(w, span)  # a misconfigured width can't exceed the span
     start = jnp.floor(u_s * (span - w + 1.0))  # uniform over {0..span-w}
     idx = jnp.arange(total, dtype=jnp.float32)  # [total]
     inside = (idx[None, None, :] >= start[..., None]) & (

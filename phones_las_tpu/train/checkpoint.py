@@ -74,6 +74,8 @@ def load_averaged_params(
     improvement for free. Non-trainable leaves (CMVN stats, binf codes)
     are identical across checkpoints, so the mean is a no-op for them.
     """
+    import numpy as np
+
     assert last_k >= 1, last_k
     mgr = CheckpointManager(workdir)
     steps = sorted(mgr._mgr.all_steps())
@@ -82,11 +84,20 @@ def load_averaged_params(
     acc = None
     for s in use:
         state, _ = mgr.restore(abstract_state, s)
-        p = state.params
+        # accumulate on HOST: device arithmetic would round-trip every
+        # leaf through the accelerator per checkpoint (minutes through a
+        # tunneled TPU); f64 accumulation also keeps the mean exact
+        p = jax.tree.map(
+            lambda a: np.asarray(a, np.float64), state.params
+        )
         acc = p if acc is None else jax.tree.map(lambda a, b: a + b, acc, p)
     mgr.close()
     n = float(len(use))
-    return jax.tree.map(lambda a: a / n, acc), use
+    dtypes = jax.tree.map(lambda a: a.dtype, abstract_state.params)
+    avg = jax.tree.map(
+        lambda a, dt: np.asarray(a / n, dt), acc, dtypes
+    )
+    return avg, use
 
 
 def load_params_for_warm_start(
