@@ -34,6 +34,12 @@ def main(argv=None):
                         " kernels only lower for TPU)")
     p.add_argument("--implementation", default="auto",
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--average-checkpoints", type=int, default=1, metavar="K",
+                   help="export the mean of the newest K checkpoints")
+    p.add_argument("--lm", default=None, metavar="LM.npz",
+                   help="bake a shallow-fusion n-gram LM into the artifact "
+                        "(beam decoding only)")
+    p.add_argument("--lm-weight", type=float, default=0.3)
     args = p.parse_args(argv)
 
     from phones_las_tpu.export import export_model
@@ -48,6 +54,8 @@ def main(argv=None):
         head=args.head,
         platforms=args.platforms.split(",") if args.platforms else None,
         implementation=args.implementation,
+        average_checkpoints=args.average_checkpoints,
+        lm=args.lm, lm_weight=args.lm_weight,
     )
     import os
 

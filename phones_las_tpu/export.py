@@ -45,6 +45,9 @@ def export_model(
     head: str = "phone",
     platforms: Optional[Sequence[str]] = None,
     implementation: str = "auto",
+    average_checkpoints: int = 1,
+    lm: Optional[str] = None,
+    lm_weight: float = 0.3,
 ) -> dict:
     """Trace + serialize the inference program for each serving shape.
 
@@ -59,9 +62,12 @@ def export_model(
 
     if implementation == "auto" and platforms and set(platforms) != {"tpu"}:
         implementation = "xla"
+    # averaged params and the fused LM table both become trace constants,
+    # so the artifact carries them with no extra format support
     t = Transcriber(
         workdir, beam_width=beam_width, head=head,
         implementation=implementation,
+        average_checkpoints=average_checkpoints, lm=lm, lm_weight=lm_weight,
     )
     sr = t.sample_rate
     os.makedirs(out_dir, exist_ok=True)

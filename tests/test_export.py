@@ -88,3 +88,27 @@ def test_export_beam(workdir, tmp_path):
     clip = (rs.randn(9000) * 2000).astype(np.int16)
     live = Transcriber(workdir, beam_width=2).transcribe(clip)
     assert ExportedTranscriber(out).transcribe(clip) == live
+
+
+def test_export_beam_with_lm(workdir, tmp_path):
+    # the fused LM table is a trace constant → the artifact carries it
+    import json
+
+    from phones_las_tpu.cli import lm as lm_cli
+
+    data = json.load(open(os.path.join(workdir, "config.json")))["data"]
+    lm_path = str(tmp_path / "lm.npz")
+    lm_cli.main(["--data", data, "--out", lm_path, "--order", "2"])
+
+    out = str(tmp_path / "exp_lm")
+    export_cli.main([
+        "--workdir", workdir, "--out", out,
+        "--batch-sizes", "2", "--pad-seconds", "1", "--beam-width", "2",
+        "--lm", lm_path, "--lm-weight", "0.5",
+    ])
+    rs = np.random.RandomState(2)
+    clip = (rs.randn(9000) * 2000).astype(np.int16)
+    live = Transcriber(
+        workdir, beam_width=2, lm=lm_path, lm_weight=0.5
+    ).transcribe(clip)
+    assert ExportedTranscriber(out).transcribe(clip) == live
