@@ -52,6 +52,9 @@ def main(argv=None):
     p.add_argument("--sa-time-width", type=int, default=50)
     p.add_argument("--sa-time-ratio", type=float, default=0.2)
     p.add_argument("--multitask-weight", type=float, default=None)
+    p.add_argument("--ctc-weight", type=float, default=None,
+                   help="joint CTC-attention loss weight lambda "
+                        "(0=attention only; adds a CTC head on the encoder)")
     p.add_argument("--clip-norm", type=float, default=None)
     p.add_argument("--init-checkpoint", default=None,
                    help="workdir of another run to warm-start params from")
@@ -128,6 +131,7 @@ def main(argv=None):
         "dropout": args.dropout,
         "sampling_probability": args.sampling_probability,
         "multitask_weight": args.multitask_weight,
+        "ctc_weight": args.ctc_weight,
         "clip_norm": args.clip_norm,
         "frontend_precision": args.frontend_precision,
         "specaugment": (

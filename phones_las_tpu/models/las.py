@@ -48,6 +48,12 @@ class LASConfig:
     # has none). Applied on device inside the jitted train step, after
     # CMVN, before the listener. None → off.
     specaugment: Optional[SpecAugmentConfig] = None
+    # joint CTC-attention training (beyond-parity; Watanabe et al. 2017,
+    # standard in modern LAS toolkits): loss = (1-λ)·attention + λ·CTC
+    # over a linear CTC head on the encoder output. The blank label is
+    # the vocab's <pad> id (0), which never occurs as a real target.
+    # 0 → no CTC head.
+    ctc_weight: float = 0.0
     # whether model input is raw PCM (device-resident front-end) or
     # precomputed features (reference-style ingestion path)
     input_is_pcm: bool = True
@@ -66,6 +72,10 @@ class LASParams(NamedTuple):
     # CMVN stats as device arrays (non-trainable; zero-mean/unit-std until set)
     cmvn_mean: jnp.ndarray
     cmvn_std: jnp.ndarray
+    # linear CTC head on the encoder output (ctc_weight > 0); None leaves
+    # keep the pytree structure of pre-CTC checkpoints
+    ctc_w: Optional[jnp.ndarray] = None  # [memory_dim, V]
+    ctc_b: Optional[jnp.ndarray] = None  # [V]
 
 
 def init_las(
@@ -74,7 +84,7 @@ def init_las(
     binf_codes: Optional[np.ndarray] = None,
     dtype=jnp.float32,
 ) -> LASParams:
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     listener_p = init_listener(k1, cfg.listener, dtype)
     speller_p = init_speller(k2, cfg.speller, binf_codes=binf_codes, dtype=dtype)
     grapheme_p = (
@@ -82,6 +92,12 @@ def init_las(
         if cfg.grapheme_speller is not None
         else None
     )
+    ctc_w = ctc_b = None
+    if cfg.ctc_weight > 0.0:
+        m, v = cfg.listener.output_dim, cfg.speller.vocab_size
+        s = jnp.sqrt(6.0 / (m + v))
+        ctc_w = jax.random.uniform(k4, (m, v), dtype, -s, s)
+        ctc_b = jnp.zeros((v,), dtype)
     d = cfg.listener.input_dim
     return LASParams(
         listener=listener_p,
@@ -89,6 +105,8 @@ def init_las(
         grapheme_speller=grapheme_p,
         cmvn_mean=jnp.zeros((d,), dtype),
         cmvn_std=jnp.ones((d,), dtype),
+        ctc_w=ctc_w,
+        ctc_b=ctc_b,
     )
 
 
@@ -112,6 +130,8 @@ def trainable_filter(params: LASParams):
         grapheme_speller=g_mask,
         cmvn_mean=False,
         cmvn_std=False,
+        ctc_w=None if params.ctc_w is None else True,
+        ctc_b=None if params.ctc_b is None else True,
     )
 
 
@@ -206,6 +226,36 @@ def binf_sigmoid_loss(
     return jnp.sum(per * target_mask) / denom
 
 
+def ctc_head_loss(
+    params: LASParams,
+    cfg: LASConfig,
+    memory: jnp.ndarray,  # [B, T', M] encoder output
+    enc_mask: jnp.ndarray,  # [B, T']
+    targets: jnp.ndarray,  # [B, S] phone ids ending in <eos>
+    target_lengths: jnp.ndarray,  # [B] counting the <eos>
+) -> jnp.ndarray:
+    """CTC loss of the encoder head against the targets WITHOUT their
+    <eos> (an attention-decoder artifact, not an acoustic label).
+    Blank = <pad> (id 0), never a real target. Per-sequence losses are
+    normalized by label length so the scale matches the attention CE."""
+    logits = memory @ params.ctc_w + params.ctc_b  # [B, T', V]
+    s = targets.shape[1]
+    label_lens = jnp.maximum(target_lengths - 1, 1)  # drop <eos>
+    label_pad = (
+        jnp.arange(s)[None, :] >= label_lens[:, None]
+    ).astype(jnp.float32)
+    import optax
+
+    per_seq = optax.ctc_loss(
+        logits.astype(jnp.float32),
+        1.0 - enc_mask.astype(jnp.float32),
+        targets,
+        label_pad,
+        blank_id=0,
+    )
+    return jnp.mean(per_seq / label_lens.astype(jnp.float32))
+
+
 def _shift_right(targets: jnp.ndarray, bos_id: int) -> jnp.ndarray:
     return jnp.concatenate(
         [jnp.full_like(targets[:, :1], bos_id), targets[:, :-1]], axis=1
@@ -263,6 +313,14 @@ def compute_loss(
         "enc_lengths": enc_lens,
     }
     loss = phone_loss
+
+    if cfg.ctc_weight > 0.0:
+        cl = ctc_head_loss(
+            params, cfg, memory, enc_mask, targets,
+            batch["target_lengths"],
+        )
+        aux["ctc_loss"] = cl
+        loss = (1.0 - cfg.ctc_weight) * loss + cfg.ctc_weight * cl
 
     if cfg.speller.binf_mode == "head" and binf_logits is not None:
         bl = binf_sigmoid_loss(

@@ -94,6 +94,8 @@ def param_sharding_rules(params: LASParams) -> LASParams:
         ),
         cmvn_mean=P(None),
         cmvn_std=P(None),
+        ctc_w=None if params.ctc_w is None else P(None, "model"),
+        ctc_b=None if params.ctc_b is None else P("model"),
     )
 
 
