@@ -52,6 +52,8 @@ def main(argv=None):
     p.add_argument("--sa-time-width", type=int, default=50)
     p.add_argument("--sa-time-ratio", type=float, default=0.2)
     p.add_argument("--multitask-weight", type=float, default=None)
+    p.add_argument("--label-smoothing", type=float, default=None,
+                   help="uniform label smoothing on the attention CE (train only)")
     p.add_argument("--ctc-weight", type=float, default=None,
                    help="joint CTC-attention loss weight lambda "
                         "(0=attention only; adds a CTC head on the encoder)")
@@ -132,6 +134,7 @@ def main(argv=None):
         "sampling_probability": args.sampling_probability,
         "multitask_weight": args.multitask_weight,
         "ctc_weight": args.ctc_weight,
+        "label_smoothing": args.label_smoothing,
         "clip_norm": args.clip_norm,
         "frontend_precision": args.frontend_precision,
         "specaugment": (

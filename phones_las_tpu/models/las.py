@@ -54,6 +54,8 @@ class LASConfig:
     # the vocab's <pad> id (0), which never occurs as a real target.
     # 0 → no CTC head.
     ctc_weight: float = 0.0
+    # uniform label smoothing ε on the attention CE losses (0 = off)
+    label_smoothing: float = 0.0
     # whether model input is raw PCM (device-resident front-end) or
     # precomputed features (reference-style ingestion path)
     input_is_pcm: bool = True
@@ -202,11 +204,17 @@ def masked_ce_loss(
     logits: jnp.ndarray,  # [B, S, V]
     targets: jnp.ndarray,  # [B, S]
     target_mask: jnp.ndarray,  # [B, S]
+    label_smoothing: float = 0.0,
 ) -> jnp.ndarray:
     """tf.contrib.seq2seq.sequence_loss semantics: mean CE over valid
-    target positions (average_across_timesteps and _batch)."""
+    target positions (average_across_timesteps and _batch).
+    ``label_smoothing`` ε mixes the one-hot target with the uniform
+    distribution (beyond-parity; the reference's loss is unsmoothed)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        uniform = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * uniform
     denom = jnp.maximum(jnp.sum(target_mask), 1.0)
     return jnp.sum(nll * target_mask) / denom
 
@@ -305,7 +313,10 @@ def compute_loss(
         sampling_rng=sampling_rng if train else None,
         sampling_probability=sampling_probability,
     )
-    phone_loss = masked_ce_loss(logits, targets, t_mask)
+    phone_loss = masked_ce_loss(
+        logits, targets, t_mask,
+        label_smoothing=cfg.label_smoothing if train else 0.0,
+    )
     aux = {
         "phone_loss": phone_loss,
         "logits": logits,
@@ -340,7 +351,10 @@ def compute_loss(
             sampling_rng=g_sampling_rng if train else None,
             sampling_probability=sampling_probability,
         )
-        g_loss = masked_ce_loss(g_logits, g_targets, g_mask)
+        g_loss = masked_ce_loss(
+            g_logits, g_targets, g_mask,
+            label_smoothing=cfg.label_smoothing if train else 0.0,
+        )
         aux["grapheme_loss"] = g_loss
         w = cfg.multitask_weight
         loss = w * loss + (1.0 - w) * g_loss
