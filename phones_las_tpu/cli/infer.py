@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--lm", default=None, metavar="LM.npz",
                    help="n-gram LM (cli.lm) for shallow-fusion beam decoding")
     p.add_argument("--lm-weight", type=float, default=0.3)
+    p.add_argument("--ctc-rescore", type=float, default=None, metavar="ALPHA",
+                   help="joint decoding: rescore beam hypotheses with the "
+                        "model's CTC head (score = ALPHA*attn + (1-ALPHA)*ctc; "
+                        "needs a --ctc-weight-trained model and beam > 0)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -50,6 +54,7 @@ def main(argv=None):
     enable_compilation_cache()
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from phones_las_tpu.cli.common import resolve_preset, timit_score_fold
@@ -123,6 +128,14 @@ def main(argv=None):
             f"{speller_cfg.vocab_size}"
         )
 
+    ctc_alpha = args.ctc_rescore
+    if ctc_alpha is not None:
+        assert beam, "--ctc-rescore requires beam decoding"
+        assert args.head == "phone", "the CTC head scores phone targets"
+        assert trainer.state.params.ctc_w is not None, (
+            "--ctc-rescore needs a model trained with --ctc-weight > 0"
+        )
+
     @jax.jit
     def infer_fn(params, audio, lengths):
         with jax.default_matmul_precision(model_cfg.matmul_precision):
@@ -136,6 +149,18 @@ def main(argv=None):
                     length_penalty=args.length_penalty,
                     lm_logp=lm_logp, lm_weight=args.lm_weight,
                 )
+                if ctc_alpha is not None:
+                    from phones_las_tpu.decode.ctc import rescore_beams
+
+                    ctc_logits = memory @ params.ctc_w + params.ctc_b
+                    best, _ = rescore_beams(
+                        ctc_logits, enc_mask, res.beam_tokens,
+                        res.beam_lengths, res.beam_scores, ctc_alpha,
+                    )
+                    take = lambda x: jnp.take_along_axis(
+                        x, best.reshape(-1, *([1] * (x.ndim - 1))), axis=1
+                    )[:, 0]
+                    return take(res.beam_tokens), take(res.beam_lengths), None, enc_lens
                 return res.tokens, res.lengths, None, enc_lens
             toks, lens, aligns = greedy_decode(
                 get_speller(params), speller_cfg, memory, enc_mask, max_steps,

@@ -117,7 +117,7 @@ class Trainer:
                 "grad_norm": optax.global_norm(grads),
                 "lr": lr_schedule(self.train_cfg)(state.step),
             }
-            for k in ("phone_loss", "grapheme_loss", "binf_loss"):
+            for k in ("phone_loss", "grapheme_loss", "binf_loss", "ctc_loss"):
                 if k in aux:
                     out[k] = aux[k]
             return (

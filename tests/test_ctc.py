@@ -105,6 +105,32 @@ def test_ctc_head_learns_one_batch():
     assert len(hyps) == 2
 
 
+def test_rescore_beams_repicks_by_ctc():
+    from phones_las_tpu.decode.ctc import rescore_beams
+
+    # CTC logits that spell "4" emphatically over 6 frames
+    t, v = 6, 8
+    logits = np.full((1, t, v), -10.0, np.float32)
+    logits[0, :, 4] = 5.0
+    enc_mask = jnp.ones((1, t), jnp.float32)
+    # beam 0 says [5], beam 1 says [4]; attention prefers beam 0
+    beam_tokens = jnp.asarray([[[5, 2, 2], [4, 2, 2]]], jnp.int32)
+    beam_lengths = jnp.asarray([[1, 1]], jnp.int32)
+    beam_scores = jnp.asarray([[-1.0, -2.0]], jnp.float32)
+
+    best_attn, _ = rescore_beams(
+        jnp.asarray(logits), enc_mask, beam_tokens, beam_lengths,
+        beam_scores, alpha=1.0,
+    )
+    assert int(best_attn[0]) == 0  # pure attention keeps its pick
+    best_joint, comb = rescore_beams(
+        jnp.asarray(logits), enc_mask, beam_tokens, beam_lengths,
+        beam_scores, alpha=0.3,
+    )
+    assert int(best_joint[0]) == 1  # CTC flips it
+    assert np.isfinite(np.asarray(comb)).all()
+
+
 def test_ctc_params_shard_over_mesh():
     from phones_las_tpu.parallel import make_mesh, shard_batch, shard_params
 
