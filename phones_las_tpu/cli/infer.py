@@ -42,6 +42,10 @@ def main(argv=None):
                    help="joint decoding: rescore beam hypotheses with the "
                         "model's CTC head (score = ALPHA*attn + (1-ALPHA)*ctc; "
                         "needs a --ctc-weight-trained model and beam > 0)")
+    p.add_argument("--ctc-joint", type=float, default=None, metavar="ALPHA",
+                   help="ONE-PASS joint decoding: CTC prefix scores inside "
+                        "the beam loop (Watanabe-style; same ALPHA convention "
+                        "as --ctc-rescore, mutually exclusive with it)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -129,11 +133,16 @@ def main(argv=None):
         )
 
     ctc_alpha = args.ctc_rescore
-    if ctc_alpha is not None:
-        assert beam, "--ctc-rescore requires beam decoding"
+    joint_alpha = args.ctc_joint
+    if ctc_alpha is not None or joint_alpha is not None:
+        flag = "--ctc-rescore" if ctc_alpha is not None else "--ctc-joint"
+        assert not (ctc_alpha is not None and joint_alpha is not None), (
+            "--ctc-rescore and --ctc-joint are mutually exclusive"
+        )
+        assert beam, f"{flag} requires beam decoding"
         assert args.head == "phone", "the CTC head scores phone targets"
         assert trainer.state.params.ctc_w is not None, (
-            "--ctc-rescore needs a model trained with --ctc-weight > 0"
+            f"{flag} needs a model trained with --ctc-weight > 0"
         )
 
     @jax.jit
@@ -143,11 +152,18 @@ def main(argv=None):
                 params, model_cfg, audio, lengths, implementation=impl,
             )
             if beam:
+                ctc_logp = None
+                if joint_alpha is not None:
+                    ctc_logp = jax.nn.log_softmax(
+                        memory @ params.ctc_w + params.ctc_b, axis=-1
+                    )
                 res = beam_decode(
                     get_speller(params), speller_cfg, memory, enc_mask,
                     max_steps, beam_width=beam,
                     length_penalty=args.length_penalty,
                     lm_logp=lm_logp, lm_weight=args.lm_weight,
+                    ctc_logp=ctc_logp,
+                    ctc_alpha=1.0 if joint_alpha is None else joint_alpha,
                 )
                 if ctc_alpha is not None:
                     from phones_las_tpu.decode.ctc import rescore_beams

@@ -75,10 +75,14 @@ def beam_decode(
     length_penalty: float = 0.0,
     lm_logp: jnp.ndarray = None,  # [V,V] or [V,V,V] n-gram table (decode.lm)
     lm_weight: float = 0.0,
+    ctc_logp: jnp.ndarray = None,  # [B, Tenc, V] log-softmax CTC head for
+    # ONE-PASS joint decoding (Watanabe-style prefix scores in the loop)
+    ctc_alpha: float = 0.7,  # step score = α·attn + (1−α)·Δψ_ctc
 ) -> BeamResult:
     b, t_enc, m = memory.shape
     k = beam_width
     v = cfg.vocab_size
+    joint = ctc_logp is not None and ctc_alpha < 1.0
 
     keys = precompute_keys(params.attention, memory)  # [B, T, A], not tiled
 
@@ -96,9 +100,21 @@ def beam_decode(
     # finished-beam continuation row: <eos> at logp 0, rest impossible
     eos_row = jnp.full((v,), _NEG, jnp.float32).at[cfg.eos_id].set(0.0)
     use_lm = lm_logp is not None and lm_weight != 0.0
+    if joint:
+        from phones_las_tpu.decode.ctc import (
+            ctc_prefix_init,
+            ctc_prefix_scores,
+            ctc_prefix_update,
+        )
+
+        ctc_lp = ctc_logp.astype(jnp.float32)
+        ctc_pexp = jnp.exp(ctc_lp)
+        ctc_state0 = ctc_prefix_init(ctc_lp, enc_mask, k)
+    else:
+        ctc_state0 = None
 
     def step(state, _):
-        carry, logp, finished, lengths, prev, prev2 = state
+        carry, logp, finished, lengths, prev, prev2, cstate = state
         emb = embed_tokens(params, cfg, prev)  # [B, K, E]
         carry, logits, extras = speller_step(
             params, cfg, carry, emb, keys, memory, enc_mask
@@ -113,6 +129,16 @@ def beam_decode(
                 lm_logp, prev, prev2
             )
         step_logp = jnp.where(finished[..., None], eos_row, step_logp)
+
+        if joint:
+            psi_mat = ctc_prefix_scores(
+                cstate, ctc_lp, ctc_pexp, enc_mask, prev,
+                cfg.eos_id, cfg.bos_id,
+            )  # [B, K, V]
+            delta = psi_mat - cstate.psi[..., None]
+            step_logp = ctc_alpha * step_logp + (1.0 - ctc_alpha) * jnp.where(
+                finished[..., None], 0.0, delta
+            )
 
         total = logp[..., None] + step_logp  # [B, K, V]
         new_logp, flat_idx = jax.lax.top_k(total.reshape(b, k * v), k)
@@ -132,13 +158,31 @@ def beam_decode(
         step_peak = jnp.take_along_axis(peak, parent, axis=1)
         # the new beam's previous-previous token = its parent's last token
         new_prev2 = jnp.take_along_axis(prev, parent, axis=1)
+        if joint:
+            # reorder the prefix-DP state by parent (f32 one-hot — the
+            # carry einsum above may run in the memory dtype) and advance
+            # it for the chosen extensions
+            oh32 = onehot.astype(jnp.float32)
+            from phones_las_tpu.decode.ctc import CTCPrefixState
+
+            cparent = CTCPrefixState(
+                lrn=jnp.einsum("bkj,bjt->bkt", oh32, cstate.lrn),
+                lrb=jnp.einsum("bkj,bjt->bkt", oh32, cstate.lrb),
+                psi=jnp.take_along_axis(cstate.psi, parent, axis=1),
+            )
+            new_cstate = ctc_prefix_update(
+                cparent, psi_mat.reshape(b, k * v), flat_idx, tok,
+                new_prev2, new_fin, ctc_lp, enc_mask,
+            )
+        else:
+            new_cstate = None
         return (
-            (carry, new_logp, new_fin, new_len, tok, new_prev2),
+            (carry, new_logp, new_fin, new_len, tok, new_prev2, new_cstate),
             (tok, parent, step_peak),
         )
 
-    state0 = (carry0, logp0, fin0, len0, prev0, prev2_0)
-    (_, logp, finished, lengths, _, _), (toks_s, parents_s, peaks_s) = jax.lax.scan(
+    state0 = (carry0, logp0, fin0, len0, prev0, prev2_0, ctc_state0)
+    (_, logp, finished, lengths, _, _, _), (toks_s, parents_s, peaks_s) = jax.lax.scan(
         step, state0, None, length=max_steps
     )
 

@@ -148,3 +148,151 @@ def test_ctc_params_shard_over_mesh():
 
     got = float(loss_fn(sharded, shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)))
     np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# One-pass joint decoding: CTC prefix scores (decode/ctc.py ctc_prefix_*)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_prefix(lp, n_valid, path, eos, bos):
+    """Sequential Watanabe Alg-2 prefix scorer in linear probability space
+    (tiny T, no underflow). lp: [T, V] log-softmax; path: token list.
+    Returns the per-step psi row [V] before each extension."""
+    p = np.exp(np.asarray(lp, np.float64))
+    t_all, v = p.shape
+    rn = np.zeros(t_all + 1)
+    rb = np.zeros(t_all + 1)
+    rb[0] = 1.0
+    for t in range(1, t_all + 1):
+        rb[t] = rb[t - 1] * (p[t - 1, 0] if t <= n_valid else 1.0)
+    last = bos
+    rows = []
+    for c in list(path) + [eos]:
+        row = np.full(v, -1e9)
+        for cand in range(v):
+            if cand in (0, bos):
+                continue
+            if cand == eos:
+                row[cand] = np.log(max(rn[n_valid] + rb[n_valid], 1e-300))
+                continue
+            s = 0.0
+            for t in range(1, n_valid + 1):
+                phi = rb[t - 1] + (0.0 if cand == last else rn[t - 1])
+                s += phi * p[t - 1, cand]
+            row[cand] = np.log(max(s, 1e-300))
+        rows.append(row)
+        if c == eos:
+            break
+        rn2 = np.zeros(t_all + 1)
+        rb2 = np.zeros(t_all + 1)
+        for t in range(1, t_all + 1):
+            if t <= n_valid:
+                phi = rb[t - 1] + (0.0 if c == last else rn[t - 1])
+                rn2[t] = (rn2[t - 1] + phi) * p[t - 1, c]
+                rb2[t] = (rb2[t - 1] + rn2[t - 1]) * p[t - 1, 0]
+            else:
+                rn2[t], rb2[t] = rn2[t - 1], rb2[t - 1]
+        rn, rb, last = rn2, rb2, c
+    return rows
+
+
+def test_ctc_prefix_scores_match_sequential_oracle():
+    from phones_las_tpu.decode.ctc import (
+        ctc_prefix_init, ctc_prefix_scores, ctc_prefix_update,
+    )
+
+    rs = np.random.RandomState(3)
+    t_all, v, n_valid, eos, bos = 7, 9, 5, 2, 1
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rs.randn(1, t_all, v) * 1.5, jnp.float32), axis=-1
+    )
+    valid = jnp.asarray([[1.0] * n_valid + [0.0] * (t_all - n_valid)])
+    path = [4, 4, 7, 3]  # includes a repeated label (the rb-only branch)
+    oracle = _oracle_prefix(lp[0], n_valid, path, eos, bos)
+
+    state = ctc_prefix_init(lp, valid, beam_width=1)
+    pexp = jnp.exp(lp)
+    prev = jnp.asarray([[bos]], jnp.int32)
+    for step, c in enumerate(list(path) + [eos]):
+        psi = ctc_prefix_scores(state, lp, pexp, valid, prev, eos, bos)
+        got, want = np.asarray(psi[0, 0], np.float64), oracle[step]
+        real = want > -600  # CTC-reachable candidates (-690 = oracle's log(0))
+        np.testing.assert_allclose(got[real], want[real], rtol=2e-4, atol=2e-4)
+        assert (got[~real] < -600).all()  # agree on unreachable ones
+        if c == eos:
+            break
+        state = ctc_prefix_update(
+            state, psi.reshape(1, v), jnp.asarray([[c]], jnp.int32),
+            jnp.asarray([[c]], jnp.int32), prev,
+            jnp.asarray([[False]]), lp, valid,
+        )
+        prev = jnp.asarray([[c]], jnp.int32)
+
+
+def test_ctc_prefix_full_sequence_matches_optax():
+    """After consuming a full label sequence, psi(eos) must equal the
+    complete-sequence CTC log prob, i.e. -optax.ctc_loss."""
+    from phones_las_tpu.decode.ctc import (
+        ctc_prefix_init, ctc_prefix_scores, ctc_prefix_update,
+    )
+
+    rs = np.random.RandomState(11)
+    t_all, v, eos, bos = 8, 6, 2, 1
+    labels = [3, 5, 5, 4]
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rs.randn(1, t_all, v), jnp.float32), axis=-1
+    )
+    valid = jnp.ones((1, t_all), jnp.float32)
+    state = ctc_prefix_init(lp, valid, 1)
+    pexp = jnp.exp(lp)
+    prev = jnp.asarray([[bos]], jnp.int32)
+    for c in labels:
+        psi = ctc_prefix_scores(state, lp, pexp, valid, prev, eos, bos)
+        state = ctc_prefix_update(
+            state, psi.reshape(1, v), jnp.asarray([[c]], jnp.int32),
+            jnp.asarray([[c]], jnp.int32), prev,
+            jnp.asarray([[False]]), lp, valid,
+        )
+        prev = jnp.asarray([[c]], jnp.int32)
+    psi = ctc_prefix_scores(state, lp, pexp, valid, prev, eos, bos)
+    loss = optax.ctc_loss(
+        lp, jnp.zeros((1, t_all)), jnp.asarray([labels], jnp.int32),
+        jnp.zeros((1, len(labels))), blank_id=0,
+    )
+    np.testing.assert_allclose(
+        float(psi[0, 0, eos]), float(-loss[0]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_joint_beam_follows_ctc_preference():
+    """With alpha near 0 the one-pass joint beam must follow the CTC head;
+    with alpha=1.0 the joint path is disabled and output is bit-identical
+    to the attention-only beam."""
+    import tests.test_models_decode as td
+    from phones_las_tpu.decode import beam_decode
+
+    cfg, params = td._tiny_speller()
+    mem, mask = td._memory()
+    base = beam_decode(params, cfg, mem, mask, max_steps=6, beam_width=3)
+
+    v = cfg.vocab_size
+    logits = np.full((2, mem.shape[1], v), -8.0, np.float32)
+    logits[:, :2, 4] = 8.0  # CTC insists on a single token 4
+    logits[:, 2:, 0] = 8.0
+    ctc_lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+
+    same = beam_decode(
+        params, cfg, mem, mask, max_steps=6, beam_width=3,
+        ctc_logp=ctc_lp, ctc_alpha=1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(base.tokens), np.asarray(same.tokens))
+
+    joint = beam_decode(
+        params, cfg, mem, mask, max_steps=6, beam_width=3,
+        ctc_logp=ctc_lp, ctc_alpha=0.05,
+    )
+    toks = np.asarray(joint.tokens)
+    lens = np.asarray(joint.lengths)
+    assert lens[0] == 1 and toks[0, 0] == 4, (toks, lens)
+    assert np.isfinite(np.asarray(joint.scores)).all()
