@@ -47,6 +47,15 @@ def merge_window_hypotheses(
     return merged
 
 
+def _ctc_logp(params, memory, ctc_alpha):
+    """Log-softmax CTC head for one-pass joint decoding (None when off)."""
+    if ctc_alpha is None:
+        return None
+    import jax
+
+    return jax.nn.log_softmax(memory @ params.ctc_w + params.ctc_b, axis=-1)
+
+
 class Transcriber:
     def __init__(
         self,
@@ -61,6 +70,7 @@ class Transcriber:
         average_checkpoints: int = 1,
         lm: Optional[str] = None,
         lm_weight: float = 0.3,
+        ctc_joint: Optional[float] = None,
     ):
         import dataclasses
 
@@ -134,6 +144,14 @@ class Transcriber:
             from phones_las_tpu.decode.lm import load_lm
 
             self.lm_logp = jax.numpy.asarray(load_lm(lm))
+        # one-pass joint CTC-attention decoding (decode/ctc.py prefix DP)
+        self.ctc_joint = None if ctc_joint is None else float(ctc_joint)
+        if self.ctc_joint is not None:
+            assert self.beam, "ctc_joint requires beam decoding (beam_width > 0)"
+            assert head == "phone", "the CTC head scores phone targets"
+            assert trainer.state.params.ctc_w is not None, (
+                "ctc_joint needs a model trained with ctc_weight > 0"
+            )
         if head == "grapheme":
             assert preset.model.grapheme_speller is not None
             self.speller_cfg = preset.model.grapheme_speller
@@ -184,6 +202,7 @@ class Transcriber:
         cfg, sp_cfg, beam = self.model_cfg, self.speller_cfg, self.beam
         get_sp, max_steps, lp = self._speller, self.max_steps, self.length_penalty
         lm_logp, lm_w = self.lm_logp, self.lm_weight
+        ctc_alpha = self.ctc_joint
         # fused VMEM-resident decoder wins only in its single-group
         # low-latency niche (see decode/pallas_greedy.py)
         use_fused = (
@@ -202,6 +221,8 @@ class Transcriber:
                         get_sp(params), sp_cfg, memory, enc_mask, max_steps,
                         beam_width=beam, length_penalty=lp,
                         lm_logp=lm_logp, lm_weight=lm_w,
+                        ctc_logp=_ctc_logp(params, memory, ctc_alpha),
+                        ctc_alpha=1.0 if ctc_alpha is None else ctc_alpha,
                     )
                     return res.tokens, res.lengths
                 if use_fused:
@@ -271,6 +292,7 @@ class Transcriber:
         cfg, sp_cfg, beam = self.model_cfg, self.speller_cfg, self.beam
         get_sp, lp = self._speller, self.length_penalty
         lm_logp, lm_w = self.lm_logp, self.lm_weight
+        ctc_alpha = self.ctc_joint
 
         @jax.jit
         def fn(params, audio, lengths):
@@ -283,6 +305,8 @@ class Transcriber:
                         get_sp(params), sp_cfg, memory, enc_mask, max_steps,
                         beam_width=beam, length_penalty=lp,
                         lm_logp=lm_logp, lm_weight=lm_w,
+                        ctc_logp=_ctc_logp(params, memory, ctc_alpha),
+                        ctc_alpha=1.0 if ctc_alpha is None else ctc_alpha,
                     )
                     return res.tokens, res.lengths, res.peaks
                 toks, lens, aligns = greedy_decode(

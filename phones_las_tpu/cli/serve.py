@@ -550,6 +550,9 @@ def main(argv=None):
     p.add_argument("--lm", default=None, metavar="LM.npz",
                    help="shallow-fusion n-gram LM (beam decoding only)")
     p.add_argument("--lm-weight", type=float, default=0.3)
+    p.add_argument("--ctc-joint", type=float, default=None, metavar="ALPHA",
+                   help="one-pass joint CTC-attention beam decoding "
+                        "(score = ALPHA*attn + (1-ALPHA)*ctc prefix)")
     args = p.parse_args(argv)
 
     from phones_las_tpu.api import Transcriber
@@ -558,7 +561,7 @@ def main(argv=None):
         args.workdir, beam_width=args.beam_width, head=args.head,
         implementation=args.implementation, data_parallel=args.data_parallel,
         average_checkpoints=args.average_checkpoints,
-        lm=args.lm, lm_weight=args.lm_weight,
+        lm=args.lm, lm_weight=args.lm_weight, ctc_joint=args.ctc_joint,
     )
     if t.data_parallel > 1 and args.max_batch % t.data_parallel != 0:
         p.error(f"--max-batch {args.max_batch} must be a multiple of "

@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--lm", default=None, metavar="LM.npz",
                    help="shallow-fusion n-gram LM (beam decoding only)")
     p.add_argument("--lm-weight", type=float, default=0.3)
+    p.add_argument("--ctc-joint", type=float, default=None, metavar="ALPHA",
+                   help="one-pass joint CTC-attention beam decoding "
+                        "(score = ALPHA*attn + (1-ALPHA)*ctc prefix)")
     args = p.parse_args(argv)
 
     import sys
@@ -55,7 +58,7 @@ def main(argv=None):
         length_penalty=args.length_penalty, head=args.head,
         implementation=args.implementation,
         average_checkpoints=args.average_checkpoints,
-        lm=args.lm, lm_weight=args.lm_weight,
+        lm=args.lm, lm_weight=args.lm_weight, ctc_joint=args.ctc_joint,
     )
 
     if args.long_form:

@@ -33,6 +33,12 @@ def test_transcriber_and_beam_eval(tmp_path):
     toks_b = tb.transcribe(pcm)
     assert isinstance(toks_b, list)
 
+    # one-pass joint decoding requires a CTC-trained model
+    import pytest
+
+    with pytest.raises(AssertionError, match="ctc_weight"):
+        Transcriber(wd, beam_width=2, ctc_joint=0.5)
+
     # wave dispatch: a batch larger than max_device_batch splits into
     # same-shape device programs (tail zero-padded) with identical output
     rs = np.random.RandomState(1)

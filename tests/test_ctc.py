@@ -296,3 +296,21 @@ def test_joint_beam_follows_ctc_preference():
     lens = np.asarray(joint.lengths)
     assert lens[0] == 1 and toks[0, 0] == 4, (toks, lens)
     assert np.isfinite(np.asarray(joint.scores)).all()
+
+
+def test_transcriber_ctc_joint_end_to_end(tmp_path):
+    """Library API: one-pass joint decoding on a CTC-trained checkpoint."""
+    from phones_las_tpu.api import Transcriber
+    from phones_las_tpu.cli import prepare as prepare_cli
+    from phones_las_tpu.cli import train as train_cli
+
+    data, wd = str(tmp_path / "d"), str(tmp_path / "w")
+    prepare_cli.main(["synthetic", "--out", data, "--n-utts", "8", "--n-phones", "4"])
+    train_cli.main([
+        "--preset", "timit_phone_las", "--data", data, "--workdir", wd,
+        "--num-steps", "2", "--batch-size", "4", "--ctc-weight", "0.3",
+    ])
+    t = Transcriber(wd, beam_width=2, ctc_joint=0.5)
+    pcm = (np.random.RandomState(0).randn(9000) * 2000).astype(np.int16)
+    toks = t.transcribe(pcm)
+    assert isinstance(toks, list)
