@@ -13,7 +13,16 @@ programs) serves every request.
     POST /transcribe    body = a WAV/FLAC/SPHERE/MP3 file, or raw int16
                         PCM with ``?raw=1&rate=16000``
                         → {"tokens": [...], "utt_seconds": ...}
+                        ``?stream=1``: chunked NDJSON response — one
+                        line of finalized tokens (+ window progress)
+                        per decoded window as the long-form decode
+                        progresses, then a ``"final": true`` line (same
+                        transcript as the offline path)
     GET  /healthz       → {"status": "ok", "vocab_size": ..., ...}
+
+Uploads may use ``Transfer-Encoding: chunked`` (decoded server-side;
+stdlib doesn't) — clients can stream a recording without knowing its
+size up front.
 
 Stdlib-only (ThreadingHTTPServer); each request thread enqueues its PCM
 and waits; a single worker drains the queue every ``--batch-wait-ms``
@@ -360,6 +369,66 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
             else:
                 self._json(404, {"error": "not found"})
 
+        def _read_body(self) -> bytes:
+            """Request body: Content-Length or chunked transfer coding
+            (HTTP/1.1 §7.1 — lets clients upload long recordings without
+            knowing the size up front; stdlib doesn't decode it)."""
+            te = self.headers.get("Transfer-Encoding", "")
+            if "chunked" in te.lower():
+                out = []
+                while True:
+                    line = self.rfile.readline(66)
+                    size = int(line.split(b";")[0].strip() or b"0", 16)
+                    if size == 0:
+                        # consume optional trailers up to the blank line
+                        while self.rfile.readline(1026) not in (b"\r\n", b"\n", b""):
+                            pass
+                        return b"".join(out)
+                    out.append(self.rfile.read(size))
+                    self.rfile.read(2)  # chunk-terminating CRLF
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n) if n > 0 else b""
+
+        def _ndjson_chunk(self, obj):
+            data = (json.dumps(obj) + "\n").encode()
+            self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+            self.wfile.flush()
+
+        def _stream_response(self, pcm, qs):
+            """``/transcribe?stream=1``: chunked NDJSON response — one
+            line per finalized window as decoding progresses (the
+            incremental ``StreamSession`` machinery re-used server-side;
+            the concatenated tokens equal the offline long-form path),
+            then a ``"final": true`` line."""
+            # construct before sending headers: bad params → clean 400
+            sess = StreamSession(
+                transcriber,
+                window_seconds=float(qs.get("window_s", ["20"])[-1]),
+                overlap_seconds=float(qs.get("overlap_s", ["2"])[-1]),
+            )
+            self._last_status = 200
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            done = 0
+            for s in range(0, pcm.shape[0], sess.hop):
+                toks = sess.feed(pcm[s : s + sess.hop])
+                if toks or sess.n_windows > done:
+                    # progress even when a window owns no tokens yet (its
+                    # tokens' timestamps may fall past the midpoint cut)
+                    done = sess.n_windows
+                    self._ndjson_chunk({"tokens": toks, "windows": done})
+            toks = sess.end()
+            metrics.audio(pcm.shape[0] / sample_rate)
+            self._ndjson_chunk({
+                "tokens": toks,
+                "final": True,
+                "total_tokens": sess.n_tokens,
+                "utt_seconds": round(pcm.shape[0] / sample_rate, 3),
+            })
+            self.wfile.write(b"0\r\n\r\n")
+
         def _read_pcm(self, qs, data):
             """Raw int16 PCM body → model-rate int16 samples."""
             pcm = np.frombuffer(data, np.int16)
@@ -460,18 +529,16 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
             url = urlparse(self.path)
             qs = parse_qs(url.query)
             if url.path.startswith("/stream/"):
-                n = int(self.headers.get("Content-Length", 0))
-                data = self.rfile.read(n) if n > 0 else b""
+                data = self._read_body()
                 try:
                     return self._do_stream(url, qs, data)
                 except Exception as e:
                     return self._json(500, {"error": f"{type(e).__name__}: {e}"})
             if url.path != "/transcribe":
                 return self._json(404, {"error": "not found"})
-            n = int(self.headers.get("Content-Length", 0))
-            if n <= 0:
+            data = self._read_body()
+            if not data:
                 return self._json(400, {"error": "empty body"})
-            data = self.rfile.read(n)
             try:
                 if qs.get("raw", ["0"])[-1] == "1":
                     pcm = self._read_pcm(qs, data)
@@ -485,6 +552,11 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                 return self._json(400, {"error": f"decode failed: {e}"})
             if pcm.size == 0:
                 return self._json(400, {"error": "no samples"})
+            if qs.get("stream", ["0"])[-1] == "1":
+                try:
+                    return self._stream_response(pcm, qs)
+                except (AssertionError, ValueError) as e:
+                    return self._json(400, {"error": f"bad params: {e}"})
             if (
                 long_form_threshold_s > 0
                 and pcm.shape[0] > long_form_threshold_s * sample_rate

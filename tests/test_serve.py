@@ -227,3 +227,52 @@ def test_stream_http_endpoints(workdir):
     finally:
         worker.stop()
         server.shutdown()
+
+
+def test_streaming_response_and_chunked_upload(workdir):
+    """?stream=1 returns chunked NDJSON whose concatenated tokens equal
+    the offline long-form transcript; chunked request bodies (no
+    Content-Length) are decoded server-side."""
+    t = Transcriber(workdir)
+    rs = np.random.RandomState(7)
+    audio = (rs.randn(3 * 16000) * 2000).astype(np.int16)
+    expected = t.transcribe_long(
+        audio, window_seconds=1.0, overlap_seconds=0.25
+    )
+
+    server, worker = make_server(t, "127.0.0.1", 0, max_batch=2)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        url = base + "/transcribe?raw=1&stream=1&window_s=1&overlap_s=0.25"
+        req = urllib.request.Request(url, data=audio.tobytes())
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"] == "application/x-ndjson"
+            lines = [json.loads(x) for x in r.read().decode().splitlines()]
+        assert lines and lines[-1].get("final") is True
+        toks = [tok for ln in lines for tok in ln["tokens"]]
+        assert toks == expected
+        assert lines[-1]["total_tokens"] == len(toks)
+        assert len(lines) > 1  # genuinely incremental (several windows)
+
+        # chunked upload of the same audio through the plain path
+        import http.client
+
+        body = audio[: 16000].tobytes()
+        ref = t.transcribe(audio[:16000])
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.putrequest("POST", "/transcribe?raw=1")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        for i in range(0, len(body), 10000):
+            chunk = body[i : i + 10000]
+            conn.send(b"%x\r\n" % len(chunk) + chunk + b"\r\n")
+        conn.send(b"0\r\n\r\n")
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert resp.status == 200 and out["tokens"] == ref
+        conn.close()
+    finally:
+        worker.stop()
+        server.shutdown()
