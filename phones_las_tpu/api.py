@@ -168,6 +168,42 @@ class Transcriber:
         self._jit_cache: Dict[int, object] = {}
         self._sample_rate = preset.model.frontend.sample_rate
 
+    def replicate(self, n: int = 0) -> List["Transcriber"]:
+        """``n`` independent single-device copies (one per local device,
+        ``n=0`` = all of them) sharing this instance's loaded params and
+        config — replica-per-chip serving.
+
+        The alternative to ``data_parallel`` batch sharding: each replica
+        pins a full param copy to its own device (``jax.device_put`` with
+        a concrete device commits the arrays, so every jit dispatch on
+        that replica runs there), and a request micro-batch occupies one
+        chip instead of a slice of all of them. Better tail latency under
+        independent request streams (no cross-chip sync per batch, no
+        ``max_batch % n_chips`` constraint); ``data_parallel`` remains
+        the right shape for one giant offline batch.
+        """
+        import copy
+
+        import jax
+
+        assert self.mesh is None, (
+            "replicate() and data_parallel batch sharding are exclusive"
+        )
+        devices = jax.devices()
+        if n == 0:
+            n = len(devices)
+        assert n <= len(devices), (n, len(devices))
+        host_params = jax.device_get(self.params)  # one host copy
+        out = []
+        for d in devices[:n]:
+            t = copy.copy(self)
+            t.params = jax.device_put(host_params, d)
+            if self.lm_logp is not None:
+                t.lm_logp = jax.device_put(self.lm_logp, d)
+            t._jit_cache = {}  # executables are per-device
+            out.append(t)
+        return out
+
     def _wave_size(self, n: int) -> int:
         """Utterances per device dispatch: up to max_device_batch per
         chip, always a multiple of the data axis so the shard is even."""

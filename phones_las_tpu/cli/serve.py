@@ -25,9 +25,10 @@ stdlib doesn't) — clients can stream a recording without knowing its
 size up front.
 
 Stdlib-only (ThreadingHTTPServer); each request thread enqueues its PCM
-and waits; a single worker drains the queue every ``--batch-wait-ms``
-(or as soon as ``--max-batch`` is queued) and answers the whole batch
-with one device dispatch.
+and waits; a worker drains the queue every ``--batch-wait-ms`` (or as
+soon as ``--max-batch`` is queued) and answers the whole batch with one
+device dispatch. With ``--replicas N`` every chip holds a full model
+copy and the N workers work-steal micro-batches off the shared queue.
 """
 
 from __future__ import annotations
@@ -135,18 +136,31 @@ class Metrics:
 
 class BatchingWorker:
     """Collects pending requests into micro-batches and transcribes each
-    batch with one device dispatch."""
+    batch with one device dispatch.
+
+    Pass a list of transcribers (``Transcriber.replicate()``) for
+    replica-per-chip serving: all replicas drain the same queue — one
+    drainer thread per replica — so a free chip picks up the next
+    micro-batch as soon as it goes idle (work-stealing load balance,
+    no explicit router)."""
 
     def __init__(self, transcriber, max_batch: int = 16,
                  batch_wait_ms: float = 20.0, metrics: "Metrics" = None):
-        self.t = transcriber
+        ts = (list(transcriber)
+              if isinstance(transcriber, (list, tuple)) else [transcriber])
+        self.t = ts[0]
+        self.replicas = ts
         self.metrics = metrics
         self.max_batch = max_batch
         self.wait_s = batch_wait_ms / 1000.0
         self.q: "queue.Queue[_Pending]" = queue.Queue()
-        self._thread = threading.Thread(target=self._run, daemon=True)
         self._stop = False
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._run, args=(t,), daemon=True)
+            for t in ts
+        ]
+        for th in self._threads:
+            th.start()
 
     def submit(self, pcm: np.ndarray) -> _Pending:
         p = _Pending(pcm)
@@ -171,7 +185,7 @@ class BatchingWorker:
             pass
         return batch
 
-    def _run(self):
+    def _run(self, t):
         while not self._stop:
             try:
                 batch = self._drain()
@@ -187,7 +201,7 @@ class BatchingWorker:
                 pad_rows = self.max_batch - len(pcms)
                 if pad_rows > 0:
                     pcms += [np.zeros(1600, np.int16)] * pad_rows
-                results = self.t.transcribe_batch(pcms)
+                results = t.transcribe_batch(pcms)
                 for p, r in zip(batch, results):
                     p.result = r
             except Exception as e:  # answer the whole batch with the error
@@ -305,6 +319,10 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                 long_form_threshold_s: float = 40.0):
     """→ (ThreadingHTTPServer, BatchingWorker). ``serve_forever()`` to run.
 
+    ``transcriber`` may be a list (``Transcriber.replicate()``) for
+    replica-per-chip serving: micro-batches are work-stolen off one
+    shared queue by whichever chip is idle; the first replica handles
+    the non-batched paths (long-form, streaming sessions).
     ``session_ttl_s``: streaming sessions whose client vanished without
     ``/end`` are evicted after this idle time (otherwise abandoned
     sessions pin the ``max_sessions`` cap forever).
@@ -321,6 +339,7 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
 
     metrics = Metrics()
     worker = BatchingWorker(transcriber, max_batch, batch_wait_ms, metrics)
+    transcriber = worker.t  # first replica serves the non-batched paths
     sample_rate = transcriber._sample_rate
     sessions: Dict[str, StreamSession] = {}
     sessions_lock = threading.Lock()
@@ -617,6 +636,13 @@ def main(argv=None):
                         "sharded over a ('data',) mesh, so one server "
                         "drives the whole slice instead of one server "
                         "per chip")
+    p.add_argument("--replicas", type=int, default=1,
+                   help="replica-per-chip serving (0 = all local "
+                        "devices): each chip holds a full model copy "
+                        "and work-steals whole micro-batches off the "
+                        "shared queue — better tail latency under "
+                        "independent request streams than "
+                        "--data-parallel's per-batch sharding")
     p.add_argument("--average-checkpoints", type=int, default=1, metavar="K",
                    help="serve the mean of the newest K checkpoints")
     p.add_argument("--lm", default=None, metavar="LM.npz",
@@ -638,12 +664,20 @@ def main(argv=None):
     if t.data_parallel > 1 and args.max_batch % t.data_parallel != 0:
         p.error(f"--max-batch {args.max_batch} must be a multiple of "
                 f"--data-parallel {t.data_parallel}")
+    serve_t = t
+    if args.replicas != 1:
+        if t.data_parallel > 1:
+            p.error("--replicas and --data-parallel are exclusive "
+                    "(full copy per chip vs one batch sharded over chips)")
+        serve_t = t.replicate(args.replicas)
     # compile the program the worker actually dispatches (a full
     # max_batch micro-batch at the smallest pad quantum) so the first
-    # real request doesn't pay the XLA compile
-    t.transcribe_batch([np.zeros(16000, np.int16)] * args.max_batch)
+    # real request doesn't pay the XLA compile; replicas after the first
+    # hit the persistent compilation cache
+    for rep in (serve_t if isinstance(serve_t, list) else [serve_t]):
+        rep.transcribe_batch([np.zeros(16000, np.int16)] * args.max_batch)
     server, _ = make_server(
-        t, args.host, args.port, max_batch=args.max_batch,
+        serve_t, args.host, args.port, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, head=args.head,
         session_ttl_s=args.session_ttl_s,
         long_form_threshold_s=args.long_form_threshold_s,

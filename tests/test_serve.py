@@ -276,3 +276,48 @@ def test_streaming_response_and_chunked_upload(workdir):
     finally:
         worker.stop()
         server.shutdown()
+
+
+def test_replicated_serving(workdir):
+    """Transcriber.replicate: each replica pins a full param copy to its
+    own device and answers identically; BatchingWorker with a replica
+    list work-steals micro-batches off the shared queue."""
+    import jax
+
+    t = Transcriber(workdir)
+    reps = t.replicate(2)
+    assert len(reps) == 2
+    devs = [
+        next(iter(jax.tree_util.tree_leaves(r.params)[0].devices()))
+        for r in reps
+    ]
+    assert devs[0] != devs[1]
+
+    rs = np.random.RandomState(11)
+    pcms = [(rs.randn(8000) * 2000).astype(np.int16) for _ in range(6)]
+    expected = [t.transcribe(p) for p in pcms]
+    for r in reps:
+        assert [r.transcribe(p) for p in pcms] == expected
+
+    server, worker = make_server(reps, "127.0.0.1", 0, max_batch=2,
+                                 batch_wait_ms=5.0)
+    assert len(worker.replicas) == 2 and worker.t is reps[0]
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        results = [None] * len(pcms)
+
+        def hit(i):
+            code, out = _post(base + "/transcribe?raw=1", pcms[i].tobytes())
+            results[i] = (code, out.get("tokens"))
+
+        ths = [threading.Thread(target=hit, args=(i,)) for i in range(len(pcms))]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join()
+        assert results == [(200, e) for e in expected]
+    finally:
+        worker.stop()
+        server.shutdown()
