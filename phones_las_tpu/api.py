@@ -385,7 +385,14 @@ class Transcriber:
             min(enc_frames,
                 int(window_samples / sr * max_tokens_per_second)),
         )
+        # quantize the dispatch batch to a power of two (≤ the wave cap,
+        # kept a data-axis multiple) so a session decoding 1, 3, then 5
+        # windows compiles log2(cap) programs at most, not one per
+        # distinct window count
         wave = self._wave_size(len(windows))
+        cap = self._wave_size(1 << 30)
+        if wave < cap:
+            wave = self._wave_size(min(cap, 1 << (wave - 1).bit_length()))
         dt = (
             np.int16
             if all(np.asarray(w).dtype == np.int16 for w in windows)
@@ -488,7 +495,14 @@ class Transcriber:
         n = int(ids.shape[0])
         assert n > 0, "align needs at least one token"
         audio = np.asarray(audio)
-        key = ("align", audio.shape[0], n)
+        # pad both axes to quanta so aligning a corpus of naturally
+        # varying lengths reuses a handful of compiled programs instead
+        # of one XLA compile per distinct (samples, tokens) pair; the
+        # length mask hides audio pad, and teacher-forced step i only
+        # reads dec_in[:i+1], so trailing token pad can't affect peaks
+        pad_samples = ((audio.shape[0] + 31999) // 32000) * 32000
+        pad_n = ((n + 15) // 16) * 16
+        key = ("align", pad_samples, pad_n)
         fn = self._jit_cache.get(key)
         if fn is None:
             from phones_las_tpu.models.las import encode
@@ -508,13 +522,15 @@ class Transcriber:
                     return jnp.argmax(probs, axis=-1).astype(jnp.int32)
 
             self._jit_cache[key] = fn
-        dec_in = np.concatenate(
-            [[self.speller_cfg.bos_id], ids[:-1]]
-        ).astype(np.int32)[None, :]
+        dec_in = np.full((1, pad_n), self.speller_cfg.eos_id, np.int32)
+        dec_in[0, 0] = self.speller_cfg.bos_id
+        dec_in[0, 1:n] = ids[:-1]
+        audio_b = np.zeros((1, pad_samples), audio.dtype)
+        audio_b[0, : audio.shape[0]] = audio
         lengths = np.asarray([audio.shape[0]], np.int32)
         peaks = np.asarray(
-            fn(self.params, audio[None, :], lengths, dec_in)
-        )[0]  # [n] encoder frames
+            fn(self.params, audio_b, lengths, dec_in)
+        )[0, :n]  # [n] encoder frames
         fs = self.frame_samples() / self._sample_rate
         toks = (
             tokens if as_strings else self.vocab.decode(ids, strip_specials=False)

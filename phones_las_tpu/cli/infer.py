@@ -152,11 +152,9 @@ def main(argv=None):
                 params, model_cfg, audio, lengths, implementation=impl,
             )
             if beam:
-                ctc_logp = None
-                if joint_alpha is not None:
-                    ctc_logp = jax.nn.log_softmax(
-                        memory @ params.ctc_w + params.ctc_b, axis=-1
-                    )
+                from phones_las_tpu.api import _ctc_logp
+
+                ctc_logp = _ctc_logp(params, memory, joint_alpha)
                 res = beam_decode(
                     get_speller(params), speller_cfg, memory, enc_mask,
                     max_steps, beam_width=beam,
@@ -171,7 +169,9 @@ def main(argv=None):
                     ctc_logits = memory @ params.ctc_w + params.ctc_b
                     best, _ = rescore_beams(
                         ctc_logits, enc_mask, res.beam_tokens,
-                        res.beam_lengths, res.beam_scores, ctc_alpha,
+                        res.beam_lengths, res.beam_logp, ctc_alpha,
+                        beam_finished=res.beam_finished,
+                        length_penalty=args.length_penalty,
                     )
                     take = lambda x: jnp.take_along_axis(
                         x, best.reshape(-1, *([1] * (x.ndim - 1))), axis=1

@@ -230,7 +230,13 @@ class StreamSession:
         self.t = transcriber
         self.win = int(window_seconds * sr)
         self.ov = int(overlap_seconds * sr)
-        assert 0 < self.ov < self.win, (self.ov, self.win)
+        # explicit raise, not assert: these gate client-supplied values
+        # (0 < overlap < window also guarantees hop > 0, i.e. feed's
+        # window enumeration always advances) and must survive python -O
+        if not 0 < self.ov < self.win:
+            raise ValueError(
+                f"need 0 < overlap ({self.ov}) < window ({self.win})"
+            )
         self.hop = self.win - self.ov
         self.mtps = max_tokens_per_second
         self.rate = sr          # client sample rate (resampled on feed)
@@ -275,7 +281,8 @@ class StreamSession:
 
     def feed(self, pcm: np.ndarray) -> List[str]:
         with self.lock:
-            assert not self.ended, "session already ended"
+            if self.ended:
+                raise ValueError("session already ended")
             self._chunks.append(np.asarray(pcm))
             self.total += len(pcm)
             # a window is decodable once the stream extends strictly past
@@ -296,13 +303,24 @@ class StreamSession:
 
     def end(self) -> List[str]:
         with self.lock:
-            assert not self.ended, "session already ended"
+            if self.ended:
+                raise ValueError("session already ended")
             self.ended = True
             starts = []
             if self.n_windows == 0 and self.total <= self.win:
-                # short stream: one window covers everything
-                if self.total > 0:
-                    starts = [0]
+                # short stream: exactly what transcribe_long does for
+                # audio within one window — delegate to transcribe() so
+                # the transcript is identical with or without streaming
+                # (decode_aligned's mtps-derived step cap and window
+                # padding can differ from the plain path)
+                audio = self._audio()
+                self._chunks = []
+                if self.total == 0:
+                    return []
+                out = self.t.transcribe(audio)
+                self.n_windows += 1
+                self.n_tokens += len(out)
+                return out
             else:
                 s = self.next_start
                 while s < self.total - self.ov:
@@ -354,6 +372,13 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                 del sessions[sid]
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked responses (``?stream=1``) are only legal on HTTP/1.1
+        # (RFC 7230 §3.3.1 — strict clients ignore Transfer-Encoding on
+        # a 1.0 status line and would read raw chunk framing); every
+        # response carries Content-Length or a terminating chunk, so
+        # 1.1 keep-alive is safe
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet access log
             pass
 
@@ -396,8 +421,16 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
             if "chunked" in te.lower():
                 out = []
                 while True:
-                    line = self.rfile.readline(66)
-                    size = int(line.split(b";")[0].strip() or b"0", 16)
+                    line = self.rfile.readline(1026)
+                    if not line.endswith(b"\n"):
+                        # size line longer than the cap: consuming the
+                        # remainder as body bytes would silently shift
+                        # every subsequent sample
+                        raise ValueError("chunk-size line too long")
+                    try:
+                        size = int(line.split(b";")[0].strip() or b"0", 16)
+                    except ValueError:
+                        raise ValueError("malformed chunk size")
                     if size == 0:
                         # consume optional trailers up to the blank line
                         while self.rfile.readline(1026) not in (b"\r\n", b"\n", b""):
@@ -430,22 +463,32 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
             self.send_header("Content-Type", "application/x-ndjson")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
-            done = 0
-            for s in range(0, pcm.shape[0], sess.hop):
-                toks = sess.feed(pcm[s : s + sess.hop])
-                if toks or sess.n_windows > done:
-                    # progress even when a window owns no tokens yet (its
-                    # tokens' timestamps may fall past the midpoint cut)
-                    done = sess.n_windows
-                    self._ndjson_chunk({"tokens": toks, "windows": done})
-            toks = sess.end()
-            metrics.audio(pcm.shape[0] / sample_rate)
-            self._ndjson_chunk({
-                "tokens": toks,
-                "final": True,
-                "total_tokens": sess.n_tokens,
-                "utt_seconds": round(pcm.shape[0] / sample_rate, 3),
-            })
+            try:
+                done = 0
+                for s in range(0, pcm.shape[0], sess.hop):
+                    toks = sess.feed(pcm[s : s + sess.hop])
+                    if toks or sess.n_windows > done:
+                        # progress even when a window owns no tokens yet
+                        # (its tokens' timestamps may fall past the
+                        # midpoint cut)
+                        done = sess.n_windows
+                        self._ndjson_chunk({"tokens": toks, "windows": done})
+                toks = sess.end()
+                metrics.audio(pcm.shape[0] / sample_rate)
+                self._ndjson_chunk({
+                    "tokens": toks,
+                    "final": True,
+                    "total_tokens": sess.n_tokens,
+                    "utt_seconds": round(pcm.shape[0] / sample_rate, 3),
+                })
+            except Exception as e:
+                # headers are already out — a 400/500 status line here
+                # would land as undeclared bytes inside the chunk stream.
+                # Abort at the NDJSON level instead and end the response
+                # cleanly (no "final" line = decode did not complete).
+                self._ndjson_chunk(
+                    {"error": f"{type(e).__name__}: {e}", "aborted": True}
+                )
             self.wfile.write(b"0\r\n\r\n")
 
         def _read_pcm(self, qs, data):
@@ -538,6 +581,11 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                 ep = self.path.split("?")[0]
                 if ep.startswith("/stream/"):
                     ep = "/stream"  # collapse session ids to one label
+                elif ep != "/transcribe":
+                    # unknown paths share one label: client-chosen bytes
+                    # never reach the exposition format, and a scanner
+                    # can't grow the label set without bound
+                    ep = "other"
                 metrics.request(ep, self._last_status)
                 if self._last_status == 200:
                     metrics.latency(time.monotonic() - t0)
@@ -547,15 +595,19 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
 
             url = urlparse(self.path)
             qs = parse_qs(url.query)
-            if url.path.startswith("/stream/"):
+            if url.path not in ("/transcribe",) and not url.path.startswith("/stream/"):
+                return self._json(404, {"error": "not found"})
+            try:
                 data = self._read_body()
+            except ValueError as e:
+                # the connection's byte stream is desynced — close it
+                self.close_connection = True
+                return self._json(400, {"error": f"bad body: {e}"})
+            if url.path.startswith("/stream/"):
                 try:
                     return self._do_stream(url, qs, data)
                 except Exception as e:
                     return self._json(500, {"error": f"{type(e).__name__}: {e}"})
-            if url.path != "/transcribe":
-                return self._json(404, {"error": "not found"})
-            data = self._read_body()
             if not data:
                 return self._json(400, {"error": "empty body"})
             try:
@@ -676,6 +728,14 @@ def main(argv=None):
     # hit the persistent compilation cache
     for rep in (serve_t if isinstance(serve_t, list) else [serve_t]):
         rep.transcribe_batch([np.zeros(16000, np.int16)] * args.max_batch)
+    if args.long_form_threshold_s > 0:
+        # also warm the aligned decoder the long-form and streaming
+        # paths dispatch (20 s default window, single-window wave) — the
+        # first lecture upload or /stream session otherwise blocks on
+        # the full compile inside its request handler
+        first = serve_t[0] if isinstance(serve_t, list) else serve_t
+        win = 20 * first.sample_rate
+        first.decode_aligned([np.zeros(win, np.int16)], window_samples=win)
     server, _ = make_server(
         serve_t, args.host, args.port, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, head=args.head,

@@ -53,7 +53,13 @@ class BeamResult(NamedTuple):
     scores: jnp.ndarray  # [B] length-normalized log prob of the best beam
     beam_tokens: jnp.ndarray  # [B, K, max_steps]
     beam_lengths: jnp.ndarray  # [B, K]
-    beam_scores: jnp.ndarray  # [B, K]
+    beam_scores: jnp.ndarray  # [B, K] length-penalty-normalized
+    # raw (unnormalized) log probs + finished flags: what external
+    # rescorers need — combining another model's raw log prob with the
+    # *normalized* score would mix incompatible scales, and a repick
+    # must honor the same prefer-finished rule as the in-loop pick
+    beam_logp: jnp.ndarray = None  # [B, K]
+    beam_finished: jnp.ndarray = None  # [B, K] bool
     # best beam's per-token attention-peak encoder frame (token
     # timestamps — long-form stitching); backtraced like the tokens
     peaks: jnp.ndarray = None  # [B, max_steps] int32
@@ -216,5 +222,7 @@ def beam_decode(
         beam_tokens=tokens,
         beam_lengths=lengths,
         beam_scores=scores,
+        beam_logp=logp,
+        beam_finished=finished,
         peaks=take(peaks),
     )

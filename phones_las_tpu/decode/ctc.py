@@ -33,19 +33,30 @@ def rescore_beams(
     enc_mask: jnp.ndarray,  # [B, T']
     beam_tokens: jnp.ndarray,  # [B, K, S] <eos>-padded hypotheses
     beam_lengths: jnp.ndarray,  # [B, K] token counts excluding <eos>
-    beam_scores: jnp.ndarray,  # [B, K] attention log probs
+    beam_logp: jnp.ndarray,  # [B, K] RAW attention log probs
     alpha: float = 0.7,
+    *,
+    beam_finished: jnp.ndarray = None,  # [B, K] bool
+    length_penalty: float = 0.0,
 ):
     """Two-pass joint decoding: rescore the beam's K hypotheses with the
     CTC head and repick (score = α·logP_att + (1−α)·logP_ctc — the
     hypothesis-rescoring form of Watanabe-style joint decoding; one
     batched CTC forward per beam, no per-step prefix DP).
 
+    Both terms are RAW sequence log probs (same scale); the length
+    penalty divides the *combined* score, mirroring the in-loop pick.
+    With ``beam_finished``, the repick also mirrors the beam's
+    prefer-finished rule — otherwise a hypothesis truncated at the step
+    cap (never emitted <eos>) could out-score every finished one.
+
     → (best_idx [B], combined [B, K]). Hypotheses whose CTC score is
     −inf (unreachable under CTC, e.g. longer than the encoder frames)
     keep their attention-only rank via a large negative floor.
     """
     import optax
+
+    from phones_las_tpu.decode.beam import _length_penalty
 
     b, k, s = beam_tokens.shape
     logit_pad = 1.0 - enc_mask.astype(jnp.float32)
@@ -65,7 +76,11 @@ def rescore_beams(
         beam_tokens, jnp.maximum(beam_lengths, 1)
     )  # [B, K]
     ctc_logp = jnp.maximum(ctc_logp, -1e7)
-    combined = alpha * beam_scores + (1.0 - alpha) * ctc_logp
+    combined = alpha * beam_logp + (1.0 - alpha) * ctc_logp
+    combined = combined / _length_penalty(beam_lengths, length_penalty)
+    if beam_finished is not None:
+        any_fin = jnp.any(beam_finished, axis=1, keepdims=True)
+        combined = jnp.where(any_fin & ~beam_finished, _NEG, combined)
     return jnp.argmax(combined, axis=1), combined
 
 

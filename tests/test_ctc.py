@@ -130,6 +130,30 @@ def test_rescore_beams_repicks_by_ctc():
     assert int(best_joint[0]) == 1  # CTC flips it
     assert np.isfinite(np.asarray(comb)).all()
 
+    # prefer-finished rule: beam 1 never emitted <eos> (truncated at the
+    # step cap) — the repick must not return it even though it wins on
+    # combined score, mirroring beam_decode's own final pick
+    finished = jnp.asarray([[True, False]])
+    best_fin, _ = rescore_beams(
+        jnp.asarray(logits), enc_mask, beam_tokens, beam_lengths,
+        beam_scores, alpha=0.3, beam_finished=finished,
+    )
+    assert int(best_fin[0]) == 0
+
+    # length penalty normalizes the COMBINED raw score (not just the
+    # attention term): a longer hypothesis with the same per-token score
+    # gains under alpha>0 exactly as in the in-loop pick
+    from phones_las_tpu.decode.beam import _length_penalty
+
+    lens2 = jnp.asarray([[1, 3]], jnp.int32)
+    _, comb_lp = rescore_beams(
+        jnp.asarray(logits), enc_mask, beam_tokens, lens2,
+        beam_scores, alpha=1.0, length_penalty=1.0,
+    )
+    expect = np.asarray(beam_scores) / np.asarray(_length_penalty(lens2, 1.0))
+    # alpha=1 leaves only the attention term -> exact normalization
+    np.testing.assert_allclose(np.asarray(comb_lp), expect, rtol=1e-6)
+
 
 def test_ctc_params_shard_over_mesh():
     from phones_las_tpu.parallel import make_mesh, shard_batch, shard_params

@@ -122,15 +122,24 @@ def test_stream_session_matches_transcribe_long(workdir):
         toks += sess.end()
         assert toks == offline, (chunk, toks, offline)
 
-    # short stream (≤ one window) still produces a transcript
+    # short stream (≤ one window) delegates to transcribe() exactly like
+    # transcribe_long does, so the transcript is identical either way
     sess = StreamSession(t, window_seconds=2.0, overlap_seconds=0.5)
     assert sess.feed(audio[:8000]) == []
     short = sess.end()
-    assert isinstance(short, list)
+    assert short == t.transcribe_long(
+        audio[:8000], window_seconds=2.0, overlap_seconds=0.5
+    )
 
     # empty stream
     sess = StreamSession(t)
     assert sess.end() == []
+
+    # client-supplied params are validated with real exceptions (not
+    # assert, which python -O strips): overlap >= window would make the
+    # feed loop never advance
+    with pytest.raises(ValueError):
+        StreamSession(t, window_seconds=1.0, overlap_seconds=1.0)
 
 
 def test_long_upload_routes_to_long_form(workdir):
@@ -318,6 +327,53 @@ def test_replicated_serving(workdir):
         for th in ths:
             th.join()
         assert results == [(200, e) for e in expected]
+    finally:
+        worker.stop()
+        server.shutdown()
+
+
+def test_malformed_chunked_body_is_clean_400(workdir):
+    """A chunked upload with a garbage size line must produce a clean
+    400 (not a stack trace / connection reset), and responses advertise
+    HTTP/1.1 (chunked NDJSON responses are illegal on a 1.0 status
+    line — RFC 7230 §3.3.1)."""
+    import http.client
+
+    t = Transcriber(workdir)
+    server, worker = make_server(t, "127.0.0.1", 0, max_batch=2)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.putrequest("POST", "/transcribe?raw=1")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        conn.send(b"NOT_HEX\r\ngarbage\r\n0\r\n\r\n")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert resp.version == 11  # HTTP/1.1 status line
+        assert "bad body" in json.loads(resp.read())["error"]
+        conn.close()
+
+        # size line longer than the cap: same clean 400
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.putrequest("POST", "/transcribe?raw=1")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        conn.send(b"10;" + b"x" * 2000 + b"\r\n")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        conn.close()
+
+        # unknown POST paths never leak the raw path into metric labels
+        code, _ = _post(f"http://127.0.0.1:{port}/attack\"path", b"x")
+        assert code == 404
+        import urllib.request as _ur
+
+        with _ur.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=60) as r:
+            body = r.read().decode()
+        assert 'endpoint="other"' in body
+        assert "attack" not in body
     finally:
         worker.stop()
         server.shutdown()
