@@ -527,6 +527,11 @@ bool decode_mp3(const char* path, std::vector<int16_t>* out, int* rate,
     }
     size_t done = 0;
     int rc;
+    // mpg123_read fills the byte buffer without aligning to PCM-frame
+    // boundaries: carry leftover samples of a partial frame into the
+    // next read, or the downmix would drop them and channel-misalign
+    // (L averaged with the next frame's R) from there on
+    std::vector<int16_t> carry;
     while (true) {
       rc = m->read(h, (unsigned char*)buf.data(), buf.size() * 2, &done);
       size_t n = done / 2;
@@ -534,11 +539,14 @@ bool decode_mp3(const char* path, std::vector<int16_t>* out, int* rate,
         if (channels == 1) {
           out->insert(out->end(), buf.begin(), buf.begin() + n);
         } else {  // downmix to mono
-          for (size_t i = 0; i + channels <= n; i += channels) {
+          carry.insert(carry.end(), buf.begin(), buf.begin() + n);
+          size_t i = 0;
+          for (; i + (size_t)channels <= carry.size(); i += channels) {
             int64_t acc = 0;
-            for (int c = 0; c < channels; c++) acc += buf[i + c];
+            for (int c = 0; c < channels; c++) acc += carry[i + c];
             out->push_back((int16_t)(acc / channels));
           }
+          carry.erase(carry.begin(), carry.begin() + i);
         }
       }
       if (rc == MPG123_DONE_) { ok = true; break; }

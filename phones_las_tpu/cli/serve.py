@@ -204,9 +204,16 @@ class BatchingWorker:
                 results = t.transcribe_batch(pcms)
                 for p, r in zip(batch, results):
                     p.result = r
-            except Exception as e:  # answer the whole batch with the error
+            except BaseException as e:  # answer the whole batch with the
+                # error — including KeyboardInterrupt/SystemExit: dying
+                # without setting the events would hang every waiting
+                # request thread forever while /healthz still answers
                 for p in batch:
                     p.error = f"{type(e).__name__}: {e}"
+                if not isinstance(e, Exception):
+                    for p in batch:
+                        p.event.set()
+                    raise
             for p in batch:
                 p.event.set()
 

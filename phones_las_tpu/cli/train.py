@@ -94,18 +94,22 @@ def main(argv=None):
     import dataclasses
     import json
 
+    if args.multihost:
+        # jax.distributed.initialize() must be the FIRST jax call: even
+        # enable_compilation_cache touches jax.default_backend(), which
+        # initializes the XLA backend and makes initialize() raise
+        from phones_las_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed()
+
     from phones_las_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
 
     shard = None
-    if args.multihost:
-        # must run before any other jax call acquires devices
-        from phones_las_tpu.parallel.multihost import initialize_distributed
-
+    if args.multihost:  # initialize_distributed() already ran (above)
         import jax
 
-        initialize_distributed()
         shard = (jax.process_index(), jax.process_count())
         args.mesh = True
 
@@ -159,16 +163,35 @@ def main(argv=None):
         )
 
     os.makedirs(args.workdir, exist_ok=True)
-    with open(os.path.join(args.workdir, "config.json"), "w") as f:
-        json.dump(
-            {"preset": args.preset, "data": args.data,
-             # non-None CLI overrides, replayed by infer so a run trained
-             # with hparam flags restores with the right shapes
-             "overrides": {k: v for k, v in overrides.items() if v is not None},
-             "precision": args.precision,
-             "resolved": dataclasses.asdict(preset)},
-            f, indent=2, default=str,
+    if shard is not None:
+        # all processes MUST share one workdir: orbax coordinates the
+        # save across processes, and divergent directories deadlock its
+        # cross-process commit barrier. Fail fast instead.
+        from jax.experimental import multihost_utils
+
+        import numpy as _np
+        import zlib
+
+        # 31-bit mask: jax downcasts to int32 without x64 mode, and a
+        # wrapped-negative gather would never equal the python int
+        h = zlib.crc32(os.path.abspath(args.workdir).encode()) & 0x7FFFFFFF
+        hs = multihost_utils.process_allgather(_np.asarray([h], _np.int32))
+        assert (hs == h).all(), (
+            "--multihost requires the SAME --workdir (shared filesystem) "
+            "on every process; orbax's coordinated save deadlocks on "
+            "divergent checkpoint directories"
         )
+    if shard is None or shard[0] == 0:  # one writer on a shared workdir
+        with open(os.path.join(args.workdir, "config.json"), "w") as f:
+            json.dump(
+                {"preset": args.preset, "data": args.data,
+                 # non-None CLI overrides, replayed by infer so a run
+                 # trained with hparam flags restores with the right shapes
+                 "overrides": {k: v for k, v in overrides.items() if v is not None},
+                 "precision": args.precision,
+                 "resolved": dataclasses.asdict(preset)},
+                f, indent=2, default=str,
+            )
 
     train_glob = args.train_records or "train*.plu"
     train_paths = sorted(glob.glob(os.path.join(args.data, train_glob)))

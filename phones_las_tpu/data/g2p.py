@@ -194,17 +194,20 @@ _EN_RULES = [
     (_rx(r"ture"), ("tʃ", "ɚ")),
     (_rx(r"cious|tious"), ("ʃ", "ə", "s")),
     (_rx(r"ous$"), ("ə", "s")),
-    (_rx(r"(?<=[td])ed$"), ("ɪ", "d")),
-    (_rx(r"(?<=[kpfsx])ed$"), ("t",)),
-    (_rx(r"(?<=[cs]h)ed$"), ("t",)),
-    (_rx(r"ed$"), ("d",)),
-    (_rx(r"(?<=[sxz])es$"), ("ɪ", "z")),
-    (_rx(r"(?<=[cs]h)es$"), ("ɪ", "z")),
-    (_rx(rf"(?<=[{_C}])le$"), ("ə", "l")),
-    (_rx(rf"(?<=[{_C}])les$"), ("ə", "l", "z")),
-    (_rx(r"(?<=[bdgmnlrvw])es$"), ("z",)),  # silent e + voiced plural
-    (_rx(r"(?<=[pktf])es$"), ("s",)),
-    (_rx(r"ing$"), ("ɪ", "ŋ")),
+    # -ed / -es / -ing / -le fire only when the stem already has a vowel
+    # (word_to_ipa's "vowel_before" guard): "red"/"bed"/"yes" keep their
+    # vowel instead of being parsed as consonant + suffix
+    (_rx(r"(?<=[td])ed$"), ("ɪ", "d"), "vowel_before"),
+    (_rx(r"(?<=[kpfsx])ed$"), ("t",), "vowel_before"),
+    (_rx(r"(?<=[cs]h)ed$"), ("t",), "vowel_before"),
+    (_rx(r"ed$"), ("d",), "vowel_before"),
+    (_rx(r"(?<=[sxz])es$"), ("ɪ", "z"), "vowel_before"),
+    (_rx(r"(?<=[cs]h)es$"), ("ɪ", "z"), "vowel_before"),
+    (_rx(rf"(?<=[{_C}])le$"), ("ə", "l"), "vowel_before"),
+    (_rx(rf"(?<=[{_C}])les$"), ("ə", "l", "z"), "vowel_before"),
+    (_rx(r"(?<=[bdgmnlrvw])es$"), ("z",), "vowel_before"),  # silent e + voiced plural
+    (_rx(r"(?<=[pktf])es$"), ("s",), "vowel_before"),
+    (_rx(r"ing$"), ("ɪ", "ŋ"), "vowel_before"),
     (_rx(r"y$"), ("i",)),
     (_rx(r"ys$"), ("i", "z")),
     # ---- silent clusters ------------------------------------------------
@@ -382,7 +385,14 @@ def word_to_ipa(word: str, rules: Sequence[tuple]) -> List[str]:
     i = 0
     n = len(word)
     while i < n:
-        for g, phones in rules:
+        for rule in rules:
+            g, phones = rule[0], rule[1]
+            if len(rule) > 2 and rule[2] == "vowel_before" and not any(
+                c in "aeiouy" for c in word[:i]
+            ):
+                # suffix rules must not consume a monosyllable's only
+                # vowel ("red" is not "r"+"-ed")
+                continue
             if isinstance(g, str):
                 if word.startswith(g, i):
                     out.extend(phones)

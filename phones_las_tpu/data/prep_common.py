@@ -47,7 +47,12 @@ def write_corpus_split(
             try:
                 audio, rate = read_audio(path, target_rate=expected_rate)
             except ValueError as e:
-                # one corrupt clip must not abort a corpus-scale prep run
+                # one corrupt clip must not abort a corpus-scale prep
+                # run — but a missing decoder/resampler fails EVERY clip
+                # and must abort (silently writing an empty split with
+                # exit code 0 is worse than the old hard error)
+                if "native decoder" in str(e) or "resampler" in str(e):
+                    raise
                 skipped += 1
                 log(f"  skipping undecodable clip: {e}")
                 continue
@@ -71,6 +76,11 @@ def write_corpus_split(
                 log(f"  {out_path}: {n} utterances")
     if skipped:
         log(f"  {out_path}: skipped {skipped} undecodable clip(s)")
+        if n == 0:
+            raise ValueError(
+                f"{out_path}: every clip failed to decode ({skipped} "
+                "skipped) — systemic decode problem, not corrupt data"
+            )
     return n
 
 

@@ -100,20 +100,23 @@ def shard_plan(plans: list, index: int, count: int) -> list:
 
     At every global step all processes MUST execute the same bucket
     shape — they assemble one global array and enter one compiled SPMD
-    program together — so the stride runs *within* each bucket group
-    (each truncated to a multiple of ``count``), and groups are emitted
-    in a canonical (bucket-index) order. A naive stride over the mixed
-    plan would put, say, a 2 s bucket on process 0 and an 8 s bucket on
-    process 1 at the same step → shape mismatch → distributed hang. All
-    processes compute the identical full plan from the shared shuffle
-    seed, so no coordination is needed."""
+    program together — so batches are grouped by bucket and each group
+    of ``count`` consecutive same-bucket batches becomes one global
+    step (process i takes the group's i-th batch). A naive stride over
+    the mixed plan would put, say, a 2 s bucket on process 0 and an 8 s
+    bucket on process 1 at the same step → shape mismatch → distributed
+    hang. Steps are emitted in the order each group *completes* in the
+    canonical shuffled plan — NOT sorted by bucket, which would impose
+    a shortest-first length curriculum every epoch that single-host
+    training does not have. All processes compute the identical full
+    plan from the shared shuffle seed, so no coordination is needed.
+    (Per bucket, ``len % count`` leftover batches are dropped.)"""
     assert 0 <= index < count, (index, count)
     by_bucket: dict = {}
+    order = []  # (bucket, group_idx) in canonical completion order
     for plan in plans:
-        by_bucket.setdefault(plan[0], []).append(plan)
-    out = []
-    for bucket in sorted(by_bucket):
-        group = by_bucket[bucket]
-        usable = len(group) - len(group) % count
-        out.extend(group[index:usable:count])
-    return out
+        group = by_bucket.setdefault(plan[0], [])
+        group.append(plan)
+        if len(group) % count == 0:
+            order.append((plan[0], len(group) // count - 1))
+    return [by_bucket[b][g * count + index] for b, g in order]

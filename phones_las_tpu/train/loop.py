@@ -184,13 +184,16 @@ class Trainer:
         # come out single-device — replicate those over the mesh.
         rep = NamedSharding(self.mesh, P())
         mesh_devices = set(self.mesh.devices.flat)
-        template = jax.jit(self.tx.init)(params)
+        # compile (never execute) the template init: output_shardings
+        # gives the GSPMD-propagated opt-state shardings without
+        # materializing a second copy of the Adam moments on device
+        shardings = jax.jit(self.tx.init).lower(params).compile().output_shardings
 
-        def put(t, x):
-            s = t.sharding if set(t.sharding.device_set) == mesh_devices else rep
+        def put(s, x):
+            s = s if set(s.device_set) == mesh_devices else rep
             return jax.device_put(jnp.asarray(x), s)
 
-        opt_state = jax.tree.map(put, template, self.state.opt_state)
+        opt_state = jax.tree.map(put, shardings, self.state.opt_state)
         self.state = TrainState(
             jax.device_put(self.state.step, rep),
             params,
@@ -223,7 +226,9 @@ class Trainer:
                 "multi-host eval needs fully-replicated params; keep the "
                 "'model' mesh axis within one process"
             )
-            return np.asarray(x)
+            # re-upload once per evaluate(): returning host numpy would
+            # make every eval-batch jit call pay a full-model H2D copy
+            return jax.device_put(np.asarray(x))
 
         return jax.tree.map(fetch, self.state.params,
                             is_leaf=lambda x: x is None)

@@ -3,7 +3,7 @@
 Each process: initialize the multi-controller runtime over localhost,
 then drive the REAL Trainer — mesh spanning both processes' devices,
 per-process slice of a MIXED-BUCKET epoch plan (the bucket-aligned
-stride in ``shard_plan`` is what keeps both processes in the same
+grouping in ``shard_plan`` is what keeps both processes in the same
 compiled program at every step), and the multi-host eval leg (local
 per-process decode, metrics summed across processes). Both processes
 must print identical train losses and identical aggregated eval

@@ -9,8 +9,8 @@ from phones_las_tpu.data.ipa import phone_to_binf
 def test_all_rule_phones_have_features():
     phones = set()
     for rules in _LANG_RULES.values():
-        for _, ps in rules:
-            phones.update(ps)
+        for rule in rules:  # (pattern, phones[, guard])
+            phones.update(rule[1])
     for ps in _EN_LEXICON.values():
         phones.update(ps)
     missing = sorted(
@@ -43,6 +43,11 @@ _EN_GOLD = {
     "stopped": "s t ɑ p t", "running": "ɹ ʌ n ɪ ŋ", "happy": "h æ p i",
     "yellow": "j ɛ l oʊ", "window": "w ɪ n d oʊ", "paper": "p eɪ p ɚ",
     "open": "oʊ p ɛ n", "music": "m j u z ɪ k", "riding": "ɹ aɪ d ɪ ŋ",
+    # monosyllabic -ed / -es / -ing lookalikes: the suffix rules must
+    # not consume the word's only vowel ("red" is not "r"+"-ed")
+    "red": "ɹ ɛ d", "bed": "b ɛ d", "fed": "f ɛ d", "led": "l ɛ d",
+    "wed": "w ɛ d", "shed": "ʃ ɛ d", "yes": "j ɛ s", "ring": "ɹ ɪ ŋ",
+    "sing": "s ɪ ŋ", "king": "k ɪ ŋ",
 }
 
 

@@ -206,3 +206,26 @@ def test_mesh_trainer_multitask_binf(tmp_path):
     l_mesh = run(make_mesh(data=4, model=2))
     l_ref = run(None)
     np.testing.assert_allclose(l_mesh, l_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_shard_plan_preserves_mixed_bucket_order():
+    """Steps come out in the canonical plan's completion order, NOT
+    grouped by bucket — a bucket-sorted regroup would impose a
+    shortest-first length curriculum every epoch that single-host
+    training does not have. All ranks must still agree on the bucket at
+    every step (same compiled SPMD program)."""
+    import random
+
+    rng = random.Random(0)
+    plans = [(rng.choice([0, 1, 2]), np.array([i])) for i in range(60)]
+    shards = [shard_plan(plans, i, 2) for i in range(2)]
+    b0 = [p[0] for p in shards[0]]
+    assert b0 == [p[0] for p in shards[1]]  # lockstep shapes
+    assert b0 != sorted(b0)  # mixed order survives (no curriculum)
+    # each step pairs two consecutive same-bucket batches of the plan
+    seen = set()
+    for r in shards:
+        for p in r:
+            key = int(p[1][0])
+            assert key not in seen
+            seen.add(key)
