@@ -275,6 +275,45 @@ def _clamp_to_length(feat: jnp.ndarray, frame_lengths: jnp.ndarray) -> jnp.ndarr
     return jnp.take_along_axis(feat, idx[..., None], axis=-2)
 
 
+def postprocess(
+    logmel: jnp.ndarray,  # [..., T, num_mel]
+    energy: Optional[jnp.ndarray],  # [..., T] raw power sum (MFCC c0 only)
+    cfg: FrontendConfig,
+    frame_lengths: Optional[jnp.ndarray] = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Shared post-spectrum tail (pure-JAX and Pallas paths): MFCC
+    DCT/lifter/energy-c0, per-utterance tail clamping, Δ/ΔΔ stacking."""
+    if cfg.feature_type == "logmel":
+        base = logmel
+    elif cfg.feature_type == "mfcc":
+        dct, lift = _dct_lifter_np(cfg.num_mel, cfg.num_ceps, cfg.lifter)
+        ceps = jnp.matmul(
+            logmel, jnp.asarray(dct, dtype=dtype), precision=mxu_precision(cfg)
+        )
+        ceps = ceps * jnp.asarray(lift, dtype=dtype)
+        if cfg.append_energy:
+            assert energy is not None, "MFCC c0 needs the frame energy"
+            log_e = jnp.log(jnp.maximum(energy, _LOG_FLOOR))
+            ceps = jnp.concatenate([log_e[..., None], ceps[..., 1:]], axis=-1)
+        base = ceps
+    else:
+        raise ValueError(f"unknown feature_type {cfg.feature_type!r}")
+
+    if frame_lengths is not None:
+        base = _clamp_to_length(base, frame_lengths)
+    if not cfg.add_deltas:
+        return base
+    d1 = _deltas(base, cfg.delta_width)
+    if frame_lengths is not None:
+        # re-clamp between delta passes: otherwise ΔΔ near a true end sees
+        # Δ values computed from the clamped tail instead of psf's
+        # edge-padded Δ, breaking parity on the last `delta_width` frames.
+        d1 = _clamp_to_length(d1, frame_lengths)
+    d2 = _deltas(d1, cfg.delta_width)
+    return jnp.concatenate([base, d1, d2], axis=-1)
+
+
 def extract_features(
     signal: jnp.ndarray,
     cfg: FrontendConfig,
@@ -312,32 +351,6 @@ def extract_features(
     fb = jnp.asarray(mel_filterbank(cfg), dtype=dtype)
     mel = jnp.matmul(pspec, fb, precision=mxu_precision(cfg))
     logmel = jnp.log(jnp.maximum(mel, _LOG_FLOOR))
-
-    if cfg.feature_type == "logmel":
-        base = logmel
-    elif cfg.feature_type == "mfcc":
-        dct, lift = _dct_lifter_np(cfg.num_mel, cfg.num_ceps, cfg.lifter)
-        ceps = jnp.matmul(
-            logmel, jnp.asarray(dct, dtype=dtype), precision=mxu_precision(cfg)
-        )
-        ceps = ceps * jnp.asarray(lift, dtype=dtype)
-        if cfg.append_energy:
-            energy = jnp.sum(pspec, axis=-1)
-            log_e = jnp.log(jnp.maximum(energy, _LOG_FLOOR))
-            ceps = jnp.concatenate([log_e[..., None], ceps[..., 1:]], axis=-1)
-        base = ceps
-    else:
-        raise ValueError(f"unknown feature_type {cfg.feature_type!r}")
-
-    if frame_lengths is not None:
-        base = _clamp_to_length(base, frame_lengths)
-    if not cfg.add_deltas:
-        return base
-    d1 = _deltas(base, cfg.delta_width)
-    if frame_lengths is not None:
-        # re-clamp between delta passes: otherwise ΔΔ near a true end sees
-        # Δ values computed from the clamped tail instead of psf's
-        # edge-padded Δ, breaking parity on the last `delta_width` frames.
-        d1 = _clamp_to_length(d1, frame_lengths)
-    d2 = _deltas(d1, cfg.delta_width)
-    return jnp.concatenate([base, d1, d2], axis=-1)
+    needs_energy = cfg.feature_type == "mfcc" and cfg.append_energy
+    energy = jnp.sum(pspec, axis=-1) if needs_energy else None
+    return postprocess(logmel, energy, cfg, frame_lengths, dtype=dtype)

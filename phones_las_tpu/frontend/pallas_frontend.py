@@ -203,26 +203,4 @@ def extract_features_pallas(
         frame_lengths = F.num_frames(sample_lengths, cfg)
 
     logmel, energy = fused_logmel(x, cfg, n_frames, interpret=interpret)
-
-    if cfg.feature_type == "logmel":
-        base = logmel
-    else:
-        dct, lift = F._dct_lifter_np(cfg.num_mel, cfg.num_ceps, cfg.lifter)
-        ceps = jnp.matmul(
-            logmel, jnp.asarray(dct, jnp.float32), precision=F.mxu_precision(cfg)
-        )
-        ceps = ceps * jnp.asarray(lift, jnp.float32)
-        if cfg.append_energy:
-            log_e = jnp.log(jnp.maximum(energy, F._LOG_FLOOR))
-            ceps = jnp.concatenate([log_e[..., None], ceps[..., 1:]], axis=-1)
-        base = ceps
-
-    if frame_lengths is not None:
-        base = F._clamp_to_length(base, frame_lengths)
-    if not cfg.add_deltas:
-        return base
-    d1 = F._deltas(base, cfg.delta_width)
-    if frame_lengths is not None:
-        d1 = F._clamp_to_length(d1, frame_lengths)
-    d2 = F._deltas(d1, cfg.delta_width)
-    return jnp.concatenate([base, d1, d2], axis=-1)
+    return F.postprocess(logmel, energy, cfg, frame_lengths)

@@ -245,9 +245,12 @@ def ctc_head_loss(
     """CTC loss of the encoder head against the targets WITHOUT their
     <eos> (an attention-decoder artifact, not an acoustic label).
     Blank = <pad> (id 0), never a real target. Per-sequence losses are
-    normalized by label length so the scale matches the attention CE."""
+    normalized by label length so the scale matches the attention CE.
+    Rows whose transcript is empty (only <eos>) carry no acoustic labels
+    and are weighted out of the loss entirely."""
     logits = memory @ params.ctc_w + params.ctc_b  # [B, T', V]
     s = targets.shape[1]
+    valid = (target_lengths > 1).astype(jnp.float32)  # ≥1 real label
     label_lens = jnp.maximum(target_lengths - 1, 1)  # drop <eos>
     label_pad = (
         jnp.arange(s)[None, :] >= label_lens[:, None]
@@ -261,7 +264,8 @@ def ctc_head_loss(
         label_pad,
         blank_id=0,
     )
-    return jnp.mean(per_seq / label_lens.astype(jnp.float32))
+    per_seq = per_seq * valid / label_lens.astype(jnp.float32)
+    return jnp.sum(per_seq) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
 def _shift_right(targets: jnp.ndarray, bos_id: int) -> jnp.ndarray:

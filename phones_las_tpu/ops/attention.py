@@ -26,9 +26,11 @@ class AttentionParams(NamedTuple):
 
     wq: [Q, A] query projection (bahdanau only; None for luong)
     wk: [M, A] memory/key projection
-    v:  [A] score vector (bahdanau); scalar g for norm/scaled variants
+    v:  [A] score vector (bahdanau); scalar g for luong_scaled
     b:  [A] normalized-bahdanau bias (None otherwise)
     score_bias: scalar bias on monotonic scores (None otherwise)
+    g:  scalar weight-norm gain (bahdanau_norm only; TF normalize=True
+        trains g alongside the unit-normalized v)
     """
 
     wq: Optional[jnp.ndarray]
@@ -36,6 +38,7 @@ class AttentionParams(NamedTuple):
     v: Optional[jnp.ndarray]
     b: Optional[jnp.ndarray]
     score_bias: Optional[jnp.ndarray]
+    g: Optional[jnp.ndarray] = None
 
 
 def init_attention_params(
@@ -59,7 +62,11 @@ def init_attention_params(
             -jnp.sqrt(3.0 / attn_units), jnp.sqrt(3.0 / attn_units),
         )
         b = jnp.zeros((attn_units,), dtype) if base == "bahdanau_norm" else None
-        return AttentionParams(wq, wk, v, b, score_bias)
+        g = (
+            jnp.asarray(jnp.sqrt(1.0 / attn_units), dtype)
+            if base == "bahdanau_norm" else None
+        )
+        return AttentionParams(wq, wk, v, b, score_bias, g)
     if base in ("luong", "luong_scaled"):
         # Luong "general": score = q · (W_k m); query_dim must equal attn_units.
         assert query_dim == attn_units, (
@@ -92,9 +99,9 @@ def _raw_scores(params, base_variant, query, keys):
         b = params.b if params.b is not None else 0.0
         v = params.v
         if base_variant == "bahdanau_norm":
-            # weight-normalized v (TF normalize=True): g * v / ||v||, with
-            # g initialized to sqrt(1/A) folded into v's init here.
-            v = v * jax.lax.rsqrt(jnp.sum(v * v) + 1e-12)
+            # weight-normalized v (TF normalize=True): trainable scalar
+            # gain g (init sqrt(1/A)) times unit-normalized v.
+            v = params.g * v * jax.lax.rsqrt(jnp.sum(v * v) + 1e-12)
         if beamed:
             act = jnp.tanh(keys[:, None, :, :] + q[:, :, None, :] + b)
             return jnp.einsum("bkta,a->bkt", act, v)

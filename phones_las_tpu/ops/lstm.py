@@ -48,13 +48,16 @@ class LSTMParams(NamedTuple):
 
 
 def init_lstm_params(key, input_dim: int, units: int, dtype=jnp.float32) -> LSTMParams:
-    """Glorot-uniform kernels (TF1 default initializer), zero bias."""
+    """Glorot-uniform kernels (TF1 default initializer), zero bias.
+
+    TF1's LSTMCell holds ONE concatenated kernel [D+U, 4U], so glorot's
+    fan-in is D+U for both halves — wx and wh share the same limit
+    sqrt(6/(D+U+4U)) rather than being initialized per-matrix."""
     k1, k2 = jax.random.split(key)
-    scale_x = jnp.sqrt(6.0 / (input_dim + 4 * units))
-    scale_h = jnp.sqrt(6.0 / (units + 4 * units))
+    scale = jnp.sqrt(6.0 / (input_dim + units + 4 * units))
     return LSTMParams(
-        wx=jax.random.uniform(k1, (input_dim, 4 * units), dtype, -scale_x, scale_x),
-        wh=jax.random.uniform(k2, (units, 4 * units), dtype, -scale_h, scale_h),
+        wx=jax.random.uniform(k1, (input_dim, 4 * units), dtype, -scale, scale),
+        wh=jax.random.uniform(k2, (units, 4 * units), dtype, -scale, scale),
         b=jnp.zeros((4 * units,), dtype),
     )
 

@@ -57,6 +57,7 @@ def _attention_spec(p: AttentionParams) -> AttentionParams:
         v=None if p.v is None else (P() if p.v.ndim == 0 else P("model")),
         b=None if p.b is None else P("model"),
         score_bias=None if p.score_bias is None else P(),
+        g=None if p.g is None else P(),
     )
 
 

@@ -338,3 +338,36 @@ def test_transcriber_ctc_joint_end_to_end(tmp_path):
     pcm = (np.random.RandomState(0).randn(9000) * 2000).astype(np.int16)
     toks = t.transcribe(pcm)
     assert isinstance(toks, list)
+
+
+def test_ctc_empty_transcript_rows_weighted_out():
+    """A row whose transcript is empty (only <eos>) carries no acoustic
+    labels; it must contribute zero to the CTC head loss instead of
+    training the head to emit <eos> as if it were a sound."""
+    from phones_las_tpu.models.las import ctc_head_loss, encode
+
+    cfg = _cfg(ctc=0.5)
+    params = init_las(jax.random.PRNGKey(0), cfg)
+    batch = _batch()
+    mem, _, mask = encode(params, cfg, batch["audio"], batch["audio_lengths"])
+
+    eos = 2  # any id — only the length matters to the masking
+    targets = np.array(batch["targets"], copy=True)
+    targets[1, 0] = eos
+    targets = jnp.asarray(targets)
+
+    full = ctc_head_loss(
+        params, cfg, mem, mask, targets,
+        jnp.asarray([5, 1], jnp.int32),  # row 1: empty transcript
+    )
+    row0_only = ctc_head_loss(
+        params, cfg, mem[:1], mask[:1], targets[:1],
+        jnp.asarray([5], jnp.int32),
+    )
+    np.testing.assert_allclose(float(full), float(row0_only), rtol=1e-5)
+
+    g = jax.grad(
+        lambda p: ctc_head_loss(p, cfg, mem, mask, targets,
+                                jnp.asarray([5, 1], jnp.int32))
+    )(params)
+    assert np.isfinite(np.asarray(g.ctc_w)).all()
