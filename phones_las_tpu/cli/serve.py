@@ -603,6 +603,13 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
             url = urlparse(self.path)
             qs = parse_qs(url.query)
             if url.path not in ("/transcribe",) and not url.path.startswith("/stream/"):
+                # drain the body first: connections are HTTP/1.1 keep-alive,
+                # so unread body bytes would be parsed as the next request on
+                # the same connection, desyncing clients that reuse it
+                try:
+                    self._read_body()
+                except ValueError:
+                    self.close_connection = True
                 return self._json(404, {"error": "not found"})
             try:
                 data = self._read_body()

@@ -127,13 +127,6 @@ def beam_decode(
         )
         peak = jnp.argmax(extras["probs"], axis=-1).astype(jnp.int32)  # [B, K]
         step_logp = jax.nn.log_softmax(logits, axis=-1)  # [B, K, V]
-        if use_lm:
-            # shallow fusion: acoustic + λ·LM, one static gather per step
-            from phones_las_tpu.decode.lm import lm_step_scores
-
-            step_logp = step_logp + lm_weight * lm_step_scores(
-                lm_logp, prev, prev2
-            )
         step_logp = jnp.where(finished[..., None], eos_row, step_logp)
 
         if joint:
@@ -144,6 +137,18 @@ def beam_decode(
             delta = psi_mat - cstate.psi[..., None]
             step_logp = ctc_alpha * step_logp + (1.0 - ctc_alpha) * jnp.where(
                 finished[..., None], 0.0, delta
+            )
+        if use_lm:
+            # shallow fusion OUTSIDE the joint α-mix — the standard hybrid
+            # CTC/attention score is α·att + (1−α)·ctc + λ·lm (Watanabe
+            # et al. 2017 eq. 14), not α·(att + λ·lm) + (1−α)·ctc; mixing
+            # inside would silently rescale λ by α. Masked for finished
+            # beams so their frozen <eos> continuation stays at logp 0.
+            from phones_las_tpu.decode.lm import lm_step_scores
+
+            lm_term = lm_weight * lm_step_scores(lm_logp, prev, prev2)
+            step_logp = step_logp + jnp.where(
+                finished[..., None], 0.0, lm_term
             )
 
         total = logp[..., None] + step_logp  # [B, K, V]

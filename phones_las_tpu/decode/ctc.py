@@ -75,6 +75,13 @@ def rescore_beams(
     ctc_logp = jax.vmap(per_beam, in_axes=(1, 1), out_axes=1)(
         beam_tokens, jnp.maximum(beam_lengths, 1)
     )  # [B, K]
+    # empty hypotheses: the length clamp above scored the <eos> pad as a
+    # real CTC label, which would floor a legitimately-empty best beam
+    # near −1e7 on silent audio. The empty sequence has an EXACT CTC
+    # score — the all-blank path, Σ_t log p_t(blank) — so use it.
+    lp_blank = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1)[:, :, 0]
+    empty_logp = jnp.sum(lp_blank * enc_mask.astype(jnp.float32), axis=-1)
+    ctc_logp = jnp.where(beam_lengths == 0, empty_logp[:, None], ctc_logp)
     ctc_logp = jnp.maximum(ctc_logp, -1e7)
     combined = alpha * beam_logp + (1.0 - alpha) * ctc_logp
     combined = combined / _length_penalty(beam_lengths, length_penalty)

@@ -43,23 +43,96 @@ class CheckpointManager:
     def restore(self, abstract_state: Any, step: Optional[int] = None) -> Tuple[Any, int]:
         """→ (state, epoch). ``abstract_state`` is a pytree of
         ShapeDtypeStructs (e.g. ``jax.eval_shape(create_fn)``) or a live
-        state with the right structure."""
+        state with the right structure.
+
+        Falls back to a structure-free restore + graft for checkpoints
+        written before ``AttentionParams.g`` (the trainable bahdanau_norm
+        weight-norm gain) existed: the missing leaf is default-filled
+        (init value ``sqrt(1/attn_units)`` in params; zeros in the Adam
+        moments) instead of failing StandardRestore with a pytree
+        structure mismatch.
+        """
         step = step if step is not None else self._mgr.latest_step()
         assert step is not None, "no checkpoint to restore"
-        out = self._mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(abstract_state),
-                meta=ocp.args.JsonRestore(),
-            ),
-        )
-        return out["state"], out["meta"].get("epoch", 0)
+        try:
+            out = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(abstract_state),
+                    meta=ocp.args.JsonRestore(),
+                ),
+            )
+            return out["state"], out["meta"].get("epoch", 0)
+        except Exception:
+            raw = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(),
+                    meta=ocp.args.JsonRestore(),
+                ),
+            )
+            state = _graft_legacy(abstract_state, raw["state"])
+            return state, raw["meta"].get("epoch", 0)
 
     def wait(self):
         self._mgr.wait_until_finished()
 
     def close(self):
         self._mgr.close()
+
+
+_MISSING = object()
+
+
+def _graft_legacy(template: Any, node: Any, in_params: bool = False):
+    """Rebuild ``template``'s pytree structure from a structure-free
+    orbax restore (NamedTuples come back as dicts, tuples as lists),
+    default-filling fields absent from legacy checkpoints.
+
+    The only known migratable field is ``AttentionParams.g`` (added with
+    the TF-parity weight-norm init fix): in the params subtree it gets
+    its init default ``sqrt(1/attn_units)`` (attn_units taken from the
+    sibling ``v`` vector); in the optimizer-moment mirrors it gets zeros
+    (a fresh moment). Any other structural mismatch still fails loudly.
+    """
+    import numpy as np
+
+    if template is None:
+        return None
+    if hasattr(template, "_fields"):  # NamedTuple ← dict by field name
+        vals = []
+        for f in template._fields:
+            tf = getattr(template, f)
+            sub = node.get(f, _MISSING) if isinstance(node, dict) else _MISSING
+            if sub is _MISSING or (sub is None and tf is not None):
+                assert f == "g", (
+                    f"checkpoint is missing field {f!r} and no migration "
+                    f"is known for it"
+                )
+                if tf is None:
+                    vals.append(None)
+                else:
+                    v_t = getattr(template, "v", None)
+                    if in_params and v_t is not None and len(v_t.shape) == 1:
+                        fill = float(np.sqrt(1.0 / v_t.shape[0]))
+                    else:
+                        fill = 0.0
+                    vals.append(jax.numpy.full(tf.shape, fill, tf.dtype))
+            else:
+                vals.append(
+                    _graft_legacy(tf, sub, in_params or f == "params")
+                )
+        return type(template)(*vals)
+    if isinstance(template, (tuple, list)):
+        assert len(template) == len(node), (
+            f"structure mismatch: {len(template)} vs {len(node)} children"
+        )
+        return type(template)(
+            _graft_legacy(t, n, in_params) for t, n in zip(template, node)
+        )
+    if isinstance(template, dict):
+        return {k: _graft_legacy(v, node[k], in_params) for k, v in template.items()}
+    return node
 
 
 def load_averaged_params(
@@ -97,6 +170,10 @@ def load_averaged_params(
     avg = jax.tree.map(
         lambda a, dt: np.asarray(a / n, dt), acc, dtypes
     )
+    # commit the averaged tree to device ONCE: returning host numpy would
+    # make every jitted dispatch downstream (serve/infer hold these params
+    # for the process lifetime) re-transfer the full model per call
+    avg = jax.device_put(avg)
     return avg, use
 
 
