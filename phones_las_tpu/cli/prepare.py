@@ -50,6 +50,19 @@ def main(argv=None):
                         "(longer utterances → longer training audio; used "
                         "by the long-form transcription tests)")
 
+    sl = sub.add_parser(
+        "speechlike",
+        help="formant-synthesized hard corpus (coarticulation, "
+             "phonotactics, speaker variation, noise) — the accuracy-A/B "
+             "substrate; see data/speechlike.py",
+    )
+    sl.add_argument("--out", required=True)
+    sl.add_argument("--n-utts", type=int, default=256)
+    sl.add_argument("--seed", type=int, default=0)
+    sl.add_argument("--snr-db", type=float, nargs=2, default=[8.0, 30.0])
+    sl.add_argument("--syllables", type=int, nargs=2, default=[2, 6])
+    sl.add_argument("--graphemes", action="store_true")
+
     args = p.parse_args(argv)
     cmvn_utts = getattr(args, "cmvn_utts", 500) or None  # 0 → None → all
     if args.corpus == "timit":
@@ -68,6 +81,36 @@ def main(argv=None):
         prepare_common_voice(args.root, args.out, args.langs, tsv=args.tsv,
                              max_per_lang=args.max_per_lang,
                              cmvn_max_utts=cmvn_utts)
+    elif args.corpus == "speechlike":
+        import os
+
+        from phones_las_tpu.data.prep_common import finalize_split_dir
+        from phones_las_tpu.data.speechlike import (
+            speechlike_grapheme_inventory,
+            write_speechlike_corpus,
+        )
+        from phones_las_tpu.data.vocab import Vocab
+
+        os.makedirs(args.out, exist_ok=True)
+        kw = dict(
+            snr_db_range=tuple(args.snr_db),
+            n_syllables_range=tuple(args.syllables),
+            graphemes=args.graphemes,
+        )
+        _, vocab = write_speechlike_corpus(
+            os.path.join(args.out, "train.plu"),
+            n_utts=args.n_utts, seed=args.seed, **kw,
+        )
+        write_speechlike_corpus(
+            os.path.join(args.out, "test.plu"),
+            n_utts=max(args.n_utts // 4, 16), seed=args.seed + 1, **kw,
+        )
+        gvocab = Vocab(speechlike_grapheme_inventory()) if args.graphemes else None
+        finalize_split_dir(
+            args.out, vocab, grapheme_vocab=gvocab,
+            cmvn_from=os.path.join(args.out, "train.plu"),
+            meta={"corpus": "speechlike"},
+        )
     else:
         import os
 
