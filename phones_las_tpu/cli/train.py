@@ -28,6 +28,12 @@ def main(argv=None):
     p.add_argument("--num-steps", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr-decay-rate", type=float, default=None,
+                   help="exponential LR decay factor per --lr-decay-steps "
+                        "(train/state.py lr_schedule; 1.0 = constant)")
+    p.add_argument("--lr-decay-steps", type=int, default=None)
+    p.add_argument("--warmup-steps", type=int, default=None,
+                   help="linear LR warmup steps before decay applies")
     p.add_argument("--eval-every", type=int, default=None)
     p.add_argument("--checkpoint-every", type=int, default=None,
                    help="checkpoint cadence in steps (preset default 1000)")
@@ -124,6 +130,9 @@ def main(argv=None):
     overrides = {
         "num_steps": args.num_steps,
         "learning_rate": args.learning_rate,
+        "lr_decay_rate": args.lr_decay_rate,
+        "lr_decay_steps": args.lr_decay_steps,
+        "warmup_steps": args.warmup_steps,
         "batch_size": args.batch_size,
         "eval_every": args.eval_every,
         "checkpoint_every": args.checkpoint_every,

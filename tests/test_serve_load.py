@@ -1,0 +1,205 @@
+"""Serving backpressure under concurrent load (round-2 verdict weak #4).
+
+Drives a live in-process server with more concurrent clients than its
+admission caps allow and asserts overload produces *fast, bounded*
+rejections (429 from the bounded queue, canned 503 from the inflight
+cap) instead of unbounded queue/thread growth — and that every accepted
+request still gets the right answer.
+"""
+
+import json
+import socket
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from phones_las_tpu.api import Transcriber
+from phones_las_tpu.cli import prepare as prepare_cli
+from phones_las_tpu.cli import train as train_cli
+from phones_las_tpu.cli.serve import make_server
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_load")
+    data, wd = str(root / "d"), str(root / "w")
+    prepare_cli.main(["synthetic", "--out", data, "--n-utts", "10",
+                      "--n-phones", "4"])
+    train_cli.main([
+        "--preset", "timit_phone_las", "--data", data, "--workdir", wd,
+        "--num-steps", "2", "--batch-size", "4",
+        "--encoder-layers", "2", "--encoder-units", "16",
+        "--decoder-units", "16", "--embedding-dim", "8",
+        "--attention-units", "16",
+    ])
+    return wd
+
+
+def _serve(t, **kw):
+    server, worker = make_server(t, "127.0.0.1", 0, **kw)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, worker, f"http://127.0.0.1:{port}"
+
+
+def _post_raw(base, body):
+    """POST /transcribe?raw=1 → (status, parsed json, latency_s)."""
+    t0 = time.monotonic()
+    req = urllib.request.Request(base + "/transcribe?raw=1", data=body)
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read()), time.monotonic() - t0
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read()), time.monotonic() - t0
+
+
+def test_bounded_queue_returns_429_with_retry_after(workdir):
+    t = Transcriber(workdir)
+    # one "slow" worker: batches of 1 held open 50 ms, queue bound 2
+    server, worker, base = _serve(
+        t, max_batch=1, batch_wait_ms=50.0, max_pending=2, max_inflight=0
+    )
+    try:
+        rs = np.random.RandomState(0)
+        body = (rs.randn(8000) * 2000).astype(np.int16).tobytes()
+        results = []
+        lock = threading.Lock()
+
+        def client():
+            code, res, dt = _post_raw(base, body)
+            with lock:
+                results.append((code, res, dt))
+
+        threads = [threading.Thread(target=client) for _ in range(12)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+
+        codes = [c for c, _, _ in results]
+        assert codes.count(200) >= 1
+        assert 429 in codes, codes  # overflow requests were rejected
+        # every response is one of the two legitimate outcomes
+        assert set(codes) <= {200, 429}
+        # rejections must be FAST (no queue wait): well under one
+        # batch-drain interval × queue depth
+        rej = [dt for c, _, dt in results if c == 429]
+        assert max(rej) < 2.0, rej
+        # the queue never exceeded its bound (structural property)
+        assert worker.q.maxsize == 2
+        # 429 body says why
+        err = next(res for c, res, _ in results if c == 429)
+        assert "capacity" in err["error"]
+    finally:
+        worker.stop()
+        server.shutdown()
+
+
+def test_retry_after_header_present(workdir):
+    t = Transcriber(workdir)
+    server, worker, base = _serve(
+        t, max_batch=1, batch_wait_ms=80.0, max_pending=1, max_inflight=0
+    )
+    try:
+        rs = np.random.RandomState(1)
+        body = (rs.randn(8000) * 2000).astype(np.int16).tobytes()
+        headers = []
+
+        def client():
+            req = urllib.request.Request(base + "/transcribe?raw=1", data=body)
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    headers.append((r.status, dict(r.headers)))
+            except urllib.error.HTTPError as e:
+                headers.append((e.code, dict(e.headers)))
+                e.read()
+
+        threads = [threading.Thread(target=client) for _ in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        rejected = [h for c, h in headers if c == 429]
+        assert rejected, [c for c, _ in headers]
+        assert all("Retry-After" in h for h in rejected)
+        assert all(int(h["Retry-After"]) >= 1 for h in rejected)
+    finally:
+        worker.stop()
+        server.shutdown()
+
+
+def test_inflight_cap_returns_canned_503(workdir):
+    t = Transcriber(workdir)
+    server, worker, base = _serve(
+        t, max_batch=1, batch_wait_ms=50.0, max_pending=64, max_inflight=1
+    )
+    try:
+        # occupy the single inflight slot with a held-open connection
+        port = int(base.rsplit(":", 1)[1])
+        hog = socket.create_connection(("127.0.0.1", port))
+        hog.sendall(b"POST /transcribe?raw=1 HTTP/1.1\r\n"
+                    b"Host: x\r\nContent-Length: 16000\r\n\r\n")
+        time.sleep(0.3)  # let the handler thread pick it up
+
+        # the next connection must get the canned 503 without a handler
+        t0 = time.monotonic()
+        s = socket.create_connection(("127.0.0.1", port))
+        resp = b""
+        s.settimeout(5)
+        try:
+            while b"\r\n\r\n" not in resp or len(resp) < 100:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                resp += chunk
+        except socket.timeout:
+            pass
+        dt = time.monotonic() - t0
+        assert resp.startswith(b"HTTP/1.1 503"), resp[:80]
+        assert b"Retry-After" in resp
+        assert dt < 2.0, dt
+        s.close()
+        hog.close()
+    finally:
+        worker.stop()
+        server.shutdown()
+
+
+def test_accepted_requests_still_correct_under_overload(workdir):
+    """At 4× capacity, the 200s must carry the same tokens as a direct
+    Transcriber call — overload must shed load, not corrupt answers."""
+    t = Transcriber(workdir)
+    rs = np.random.RandomState(2)
+    pcm = (rs.randn(8000) * 2000).astype(np.int16)
+    expected = t.transcribe(pcm)
+
+    server, worker, base = _serve(
+        t, max_batch=2, batch_wait_ms=10.0, max_pending=4, max_inflight=0
+    )
+    try:
+        body = pcm.tobytes()
+        results = []
+        lock = threading.Lock()
+
+        def client():
+            code, res, dt = _post_raw(base, body)
+            with lock:
+                results.append((code, res, dt))
+
+        threads = [threading.Thread(target=client) for _ in range(16)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        oks = [res for c, res, _ in results if c == 200]
+        assert oks, [c for c, _, _ in results]
+        for res in oks:
+            assert res["tokens"] == expected
+        assert {c for c, _, _ in results} <= {200, 429}
+    finally:
+        worker.stop()
+        server.shutdown()
