@@ -25,6 +25,7 @@
 //                    char* err, int errlen);
 //   void plu_free(int16_t* buf);
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -291,6 +292,10 @@ bool flac_subframe(BitReader* br, int blocksize, int bps,
   int type = (int)br->bits(6);
   int wasted = 0;
   if (br->bits(1)) { wasted = 1 + (int)br->unary(); }
+  if (wasted >= bps) {  // would leave bps <= 0 → negative shifts below
+    *err = "flac: wasted bits exceed sample size";
+    return false;
+  }
   bps -= wasted;
   out->assign(blocksize, 0);
 
@@ -356,6 +361,12 @@ bool decode_flac(const std::vector<uint8_t>& buf, std::vector<int16_t>* out,
     int type = h & 0x7F;
     uint32_t len = (uint32_t)buf[pos + 1] << 16 | buf[pos + 2] << 8 | buf[pos + 3];
     pos += 4;
+    if (len > buf.size() - pos) {
+      // unchecked, pos would run past the buffer and the frame reader's
+      // size (buf.size() - pos) would underflow to a huge size_t → OOB
+      *err = "flac: truncated metadata block";
+      return false;
+    }
     if (type == 0 && len >= 34) {  // STREAMINFO
       BitReader br{buf.data() + pos, len};
       br.bits(16); br.bits(16); br.bits(24); br.bits(24);
@@ -369,7 +380,10 @@ bool decode_flac(const std::vector<uint8_t>& buf, std::vector<int16_t>* out,
   if (!sample_rate || !channels) { *err = "flac: missing STREAMINFO"; return false; }
   *rate = sample_rate;
   out->clear();
-  if (total_samples) out->reserve(total_samples);
+  // the 36-bit STREAMINFO count is attacker-controlled: reserve only what
+  // the compressed payload could plausibly expand to, not up to 64 GiB
+  if (total_samples)
+    out->reserve(std::min<uint64_t>(total_samples, buf.size() * 4 + 65536));
 
   BitReader br{buf.data() + pos, buf.size() - pos};
   std::vector<std::vector<int64_t>> ch(channels);

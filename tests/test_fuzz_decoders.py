@@ -1,0 +1,55 @@
+"""Fuzz harness over every file parser (round-2 verdict item 6).
+
+Each format is fuzzed in a SUBPROCESS (tests/fuzz_child.py): thousands
+of seeded byte mutations of a valid fixture are fed to the decoders,
+and the child's exit code proves none of them crashed the C++ parsers
+(csrc/plu_audio.cc, csrc/plu_records.cc) or the Python fallbacks —
+every mutation either decodes or raises a clean Python exception.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_CHILD = os.path.join(os.path.dirname(__file__), "fuzz_child.py")
+
+
+def _run(fmt, n, seed, tmp_path):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        [sys.executable, _CHILD, fmt, str(n), str(seed), str(tmp_path)],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, (
+        f"fuzz[{fmt}] crashed (rc={proc.returncode}):\n"
+        f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-2000:]}"
+    )
+    if "SKIP" in proc.stdout:
+        pytest.skip(proc.stdout.strip())
+    assert "0 crashes" in proc.stdout, proc.stdout
+    return proc.stdout
+
+
+@pytest.mark.parametrize("fmt,n,min_rejected", [
+    # mp3's floor is low by design: libmpg123 resyncs through nearly any
+    # garbage, so few mutations produce hard failures
+    ("wav", 1500, 75), ("sphere", 1500, 75), ("flac", 1500, 75),
+    ("mp3", 800, 5),
+])
+def test_fuzz_audio_decoders(fmt, n, min_rejected, tmp_path):
+    out = _run(fmt, n, seed=42, tmp_path=tmp_path)
+    # the mutator must actually be exercising the error paths: a fuzz
+    # run where everything still decodes means the fixture/mutator is
+    # broken, not that the parser is robust
+    rejected = int(out.split("rejected")[0].rsplit(",", 1)[-1])
+    assert rejected >= min_rejected, out
+
+
+def test_fuzz_record_reader(tmp_path):
+    out = _run("plu", 1200, seed=7, tmp_path=tmp_path)
+    rejected = int(out.split("rejected")[0].rsplit(",", 1)[-1])
+    assert rejected > 50, out
