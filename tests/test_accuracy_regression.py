@@ -17,6 +17,10 @@ from phones_las_tpu.data.synthetic import write_synth_corpus
 from phones_las_tpu.models import LASConfig, ListenerConfig, SpellerConfig
 from phones_las_tpu.train import TrainConfig, Trainer
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_trains_to_low_per_on_tone_corpus(tmp_path):
     path, vocab = write_synth_corpus(

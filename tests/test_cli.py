@@ -6,6 +6,10 @@ from phones_las_tpu.cli import infer as infer_cli
 from phones_las_tpu.cli import prepare as prepare_cli
 from phones_las_tpu.cli import train as train_cli
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_cli_roundtrip(tmp_path, capsys):
     data = str(tmp_path / "data")

@@ -11,6 +11,10 @@ from phones_las_tpu.data.records import RecordWriter, Utterance
 from phones_las_tpu.data.synthetic import synth_utterance
 from phones_las_tpu.data.vocab import Vocab
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _write_corpus(out, n=10):
     os.makedirs(out, exist_ok=True)

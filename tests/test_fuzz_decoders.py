@@ -13,6 +13,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _CHILD = os.path.join(os.path.dirname(__file__), "fuzz_child.py")
 
 

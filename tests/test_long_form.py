@@ -16,6 +16,10 @@ from phones_las_tpu.data.synthetic import synth_utterance
 from phones_las_tpu.data.vocab import Vocab
 from phones_las_tpu.train.metrics import _edit_distance
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _per(hyp, ref):
     ids = {t: i for i, t in enumerate(sorted(set(hyp) | set(ref)))}

@@ -17,6 +17,10 @@ from phones_las_tpu.parallel import make_mesh
 from phones_las_tpu.parallel.multihost import shard_batch_global, shard_plan
 from phones_las_tpu.train import TrainConfig, Trainer
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _tiny_cfg(vocab_size):
     return LASConfig(

@@ -16,6 +16,10 @@ import sys
 
 from phones_las_tpu.data.synthetic import write_synth_corpus
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 _CHILD = os.path.join(os.path.dirname(__file__), "multihost_child.py")
 
 

@@ -15,6 +15,8 @@ from phones_las_tpu.cli import train as train_cli
 from phones_las_tpu.cli.serve import StreamSession, make_server
 from phones_las_tpu.data.audio_io import write_wav
 
+pytestmark = pytest.mark.slow
+
 
 def _post(url, data, headers=None):
     req = urllib.request.Request(url, data=data, headers=headers or {})

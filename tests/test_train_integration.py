@@ -12,6 +12,8 @@ from phones_las_tpu.data.synthetic import write_synth_corpus
 from phones_las_tpu.models import LASConfig, ListenerConfig, SpellerConfig
 from phones_las_tpu.train import TrainConfig, Trainer
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
