@@ -16,6 +16,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data", required=True,
                    help="a prepared data dir (uses train*.plu) or .plu file(s)")
+    p.add_argument("--text", default=None,
+                   help="train on this plain-text file instead of the "
+                        ".plu transcripts (one utterance per line, "
+                        "space-separated tokens; --data still supplies "
+                        "the vocab) — the standard fusion setup where "
+                        "LM text vastly exceeds the paired audio")
     p.add_argument("--out", required=True, help="output .npz path")
     p.add_argument("--order", type=int, default=3, choices=[2, 3])
     p.add_argument("--head", default="phone", choices=["phone", "grapheme"],
@@ -45,11 +51,18 @@ def main(argv=None):
     vocab = Vocab.load(vocab_file)
 
     seqs = []
-    for path in paths:
-        for utt in RecordReader(path):
-            t = utt.grapheme_targets if args.head == "grapheme" else utt.targets
-            if t is not None and len(t):
-                seqs.append(np.asarray(t))
+    if args.text:
+        with open(args.text) as f:
+            for line in f:
+                toks = line.split()
+                if toks:
+                    seqs.append(np.asarray(vocab.encode(toks), np.int32))
+    else:
+        for path in paths:
+            for utt in RecordReader(path):
+                t = utt.grapheme_targets if args.head == "grapheme" else utt.targets
+                if t is not None and len(t):
+                    seqs.append(np.asarray(t))
     assert seqs, "no transcripts found"
     logp = fit_ngram_lm(
         seqs, len(vocab), vocab.sos_id, vocab.eos_id,

@@ -25,6 +25,9 @@ def main(argv=None):
     l.add_argument("--splits", nargs="+",
                    default=["train-clean-100", "dev-clean", "test-clean"])
     l.add_argument("--targets", choices=["char", "phone"], default="char")
+    l.add_argument("--g2p-model", default=None,
+                   help="seq2seq G2P .npz (cli.g2p train) for phone "
+                        "targets; rules remain the OOV fallback")
 
     c = sub.add_parser("common_voice")
     c.add_argument("--root", required=True)
@@ -32,6 +35,8 @@ def main(argv=None):
     c.add_argument("--langs", nargs="+", required=True)
     c.add_argument("--tsv", default="validated.tsv")
     c.add_argument("--max-per-lang", type=int, default=None)
+    c.add_argument("--g2p-model", default=None,
+                   help="seq2seq G2P .npz, applied to EN text only")
 
     for sp in (t, l, c):
         sp.add_argument("--cmvn-utts", type=int, default=500,
@@ -74,11 +79,13 @@ def main(argv=None):
         from phones_las_tpu.data.librispeech import prepare_librispeech
 
         prepare_librispeech(args.root, args.out, splits=tuple(args.splits),
+                            g2p_model=args.g2p_model,
                             targets=args.targets, cmvn_max_utts=cmvn_utts)
     elif args.corpus == "common_voice":
         from phones_las_tpu.data.common_voice import prepare_common_voice
 
         prepare_common_voice(args.root, args.out, args.langs, tsv=args.tsv,
+                             g2p_model=args.g2p_model,
                              max_per_lang=args.max_per_lang,
                              cmvn_max_utts=cmvn_utts)
     elif args.corpus == "speechlike":

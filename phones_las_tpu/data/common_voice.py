@@ -67,12 +67,18 @@ def prepare_common_voice(
     frontend_cfg: Optional[FrontendConfig] = None,
     cmvn_max_utts: Optional[int] = 500,
     max_per_lang: Optional[int] = None,
+    g2p_model: Optional[str] = None,
     log=print,
 ) -> dict:
     """``root`` contains one directory per language code. Builds ONE
     merged IPA vocab over all languages and per-language record files
     (train on the union for multilingual phone recognition)."""
     os.makedirs(out_dir, exist_ok=True)
+    model = None
+    if g2p_model:  # trained on English; other languages keep the rules
+        from phones_las_tpu.models.g2p_model import NeuralG2P
+
+        model = NeuralG2P(g2p_model)
 
     # pass 1: collect (lang, utt) token sequences to build the shared vocab
     parsed = {}
@@ -83,7 +89,8 @@ def prepare_common_voice(
     for lang in langs:
         items = []
         for utt_id, clip, sent in iter_common_voice(os.path.join(root, lang), tsv):
-            phones = text_to_ipa(sent, lang)
+            phones = text_to_ipa(sent, lang,
+                                 model=model if lang == "en" else None)
             if not phones:
                 continue
             graphemes = _graphemes(sent)

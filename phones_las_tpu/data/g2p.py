@@ -416,19 +416,31 @@ def text_to_ipa(
     lexicon: Optional[Dict[str, Tuple[str, ...]]] = None,
     rules: Optional[Sequence[tuple]] = None,
     insert_word_breaks: bool = False,
+    model=None,
 ) -> List[str]:
     """Sentence → flat IPA phone list (optionally with 'sil' between
-    words). Unknown languages fall back to English rules."""
+    words). Unknown languages fall back to English rules.
+
+    ``model``: an optional ``models.g2p_model.NeuralG2P`` — words outside
+    the lexicon that the model handles (plain alphabetic) go through the
+    trained seq2seq; everything else keeps the rule tables (the OOV
+    fallback the round-2 verdict item 5 asks for)."""
     rules = rules if rules is not None else _LANG_RULES.get(lang, _EN_RULES)
     lex = dict(_EN_LEXICON) if lang == "en" else {}
     if lexicon:
         lex.update(lexicon)
+    words = normalize_text(text)
+    neural: Dict[str, List[str]] = {}
+    if model is not None:
+        neural = model.lookup([w for w in words if w not in lex])
     phones: List[str] = []
-    for w, word in enumerate(normalize_text(text)):
+    for w, word in enumerate(words):
         if w and insert_word_breaks:
             phones.append("sil")
         if word in lex:
             phones.extend(lex[word])
+        elif word in neural:
+            phones.extend(neural[word])
         else:
             phones.extend(word_to_ipa(word, rules))
     return phones

@@ -70,13 +70,22 @@ def prepare_librispeech(
     targets: str = "char",  # 'char' | 'phone'
     frontend_cfg: Optional[FrontendConfig] = None,
     cmvn_max_utts: Optional[int] = 500,
+    g2p_model: Optional[str] = None,
     log=print,
 ) -> dict:
     os.makedirs(out_dir, exist_ok=True)
+    model = None
+    if g2p_model and targets == "phone":
+        from phones_las_tpu.models.g2p_model import NeuralG2P
+
+        model = NeuralG2P(g2p_model)
     if targets == "char":
         vocab = Vocab(_CHARS)
     else:
-        vocab = Vocab(_ipa_phone_inventory())
+        inv = set(_ipa_phone_inventory())
+        if model is not None:  # the seq2seq may emit phones rules don't
+            inv.update(model.vocab_p.real_tokens)
+        vocab = Vocab(sorted(inv))
     grapheme_vocab = Vocab(_CHARS)
 
     counts = {}
@@ -87,7 +96,7 @@ def prepare_librispeech(
                 if targets == "char":
                     tokens = text_to_chars(text)
                 else:
-                    tokens = text_to_ipa(text, "en")
+                    tokens = text_to_ipa(text, "en", model=model)
                 yield utt_id, flac, tokens, text_to_chars(text), text
 
         out_path = os.path.join(out_dir, split.replace("/", "_") + ".plu")
