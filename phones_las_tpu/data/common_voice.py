@@ -78,7 +78,8 @@ def prepare_common_voice(
     if g2p_model:  # trained on English; other languages keep the rules
         from phones_las_tpu.models.g2p_model import NeuralG2P
 
-        model = NeuralG2P(g2p_model)
+        model = (NeuralG2P.bundled() if g2p_model == "bundled"
+                 else NeuralG2P(g2p_model))
 
     # pass 1: collect (lang, utt) token sequences to build the shared vocab
     parsed = {}

@@ -1128,6 +1128,242 @@ terrible: t ɛ ɹ ə b ə l
 visible: v ɪ z ə b ə l
 """
 
+# targeted families the first gold eval showed the model had never
+# seen: ph = f, soft c before i/y, u = ju, oo/ew/ue = u, -ear = ɪɹ,
+# -ouse = aʊs, monosyllabic -ed/-es/-ing lookalikes, open-syllable long
+# vowels vs doubled-consonant short vowels, and more -le words
+_BASE_TEXT += """
+photo: f oʊ t oʊ
+phrase: f ɹ eɪ z
+physical: f ɪ z ɪ k ə l
+alphabet: æ l f ə b ɛ t
+elephant: ɛ l ə f ə n t
+telephone: t ɛ l ə f oʊ n
+graph: ɡ ɹ æ f
+paragraph: p ɛ ɹ ə ɡ ɹ æ f
+nephew: n ɛ f j u
+orphan: ɔ ɹ f ə n
+trophy: t ɹ oʊ f i
+dolphin: d ɑ l f ɪ n
+cinema: s ɪ n ə m ə
+circus: s ɝ k ə s
+citizen: s ɪ t ə z ə n
+civil: s ɪ v ə l
+cycle: s aɪ k ə l
+fancy: f æ n s i
+icy: aɪ s i
+juicy: dʒ u s i
+mercy: m ɝ s i
+princess: p ɹ ɪ n s ɛ s
+recipe: ɹ ɛ s ə p i
+spicy: s p aɪ s i
+bicycle: b aɪ s ɪ k ə l
+medicine: m ɛ d ə s ə n
+exercise: ɛ k s ɚ s aɪ z
+excite: ɪ k s aɪ t
+precise: p ɹ ɪ s aɪ s
+cute: k j u t
+mute: m j u t
+cube: k j u b
+fume: f j u m
+amuse: ə m j u z
+excuse: ɪ k s k j u z
+refuse: ɹ ɪ f j u z
+confuse: k ə n f j u z
+menu: m ɛ n j u
+museum: m j u z i ə m
+uniform: j u n ə f ɔ ɹ m
+union: j u n j ə n
+universe: j u n ə v ɝ s
+pupil: p j u p ə l
+fuel: f j u ə l
+view: v j u
+broom: b ɹ u m
+gloom: ɡ l u m
+scoop: s k u p
+loop: l u p
+troop: t ɹ u p
+stool: s t u l
+mood: m u d
+blew: b l u
+chew: tʃ u
+crew: k ɹ u
+dew: d u
+drew: d ɹ u
+flew: f l u
+grew: ɡ ɹ u
+knew: n u
+screw: s k ɹ u
+stew: s t u
+threw: θ ɹ u
+clue: k l u
+due: d u
+glue: ɡ l u
+sue: s u
+beard: b ɪ ɹ d
+cheer: tʃ ɪ ɹ
+steer: s t ɪ ɹ
+peer: p ɪ ɹ
+gear: ɡ ɪ ɹ
+rear: ɹ ɪ ɹ
+spear: s p ɪ ɹ
+smear: s m ɪ ɹ
+blouse: b l aʊ s
+spouse: s p aʊ s
+cone: k oʊ n
+throne: θ ɹ oʊ n
+clone: k l oʊ n
+shone: ʃ oʊ n
+cable: k eɪ b ə l
+stable: s t eɪ b ə l
+fable: f eɪ b ə l
+able: eɪ b ə l
+enable: ɪ n eɪ b ə l
+label: l eɪ b ə l
+maple: m eɪ p ə l
+staple: s t eɪ p ə l
+ladle: l eɪ d ə l
+cradle: k ɹ eɪ d ə l
+bacon: b eɪ k ə n
+basin: b eɪ s ə n
+apron: eɪ p ɹ ə n
+tiger: t aɪ ɡ ɚ
+spider: s p aɪ d ɚ
+pilot: p aɪ l ə t
+frozen: f ɹ oʊ z ə n
+motor: m oʊ t ɚ
+soda: s oʊ d ə
+sofa: s oʊ f ə
+zebra: z i b ɹ ə
+meter: m i t ɚ
+fever: f i v ɚ
+legal: l i ɡ ə l
+pepper: p ɛ p ɚ
+copper: k ɑ p ɚ
+ladder: l æ d ɚ
+hammer: h æ m ɚ
+manner: m æ n ɚ
+banner: b æ n ɚ
+rabbit: ɹ æ b ɪ t
+happen: h æ p ə n
+bitter: b ɪ t ɚ
+litter: l ɪ t ɚ
+tunnel: t ʌ n ə l
+funnel: f ʌ n ə l
+battle: b æ t ə l
+cattle: k æ t ə l
+puddle: p ʌ d ə l
+saddle: s æ d ə l
+paddle: p æ d ə l
+rattle: ɹ æ t ə l
+giggle: ɡ ɪ ɡ ə l
+wiggle: w ɪ ɡ ə l
+juggle: dʒ ʌ ɡ ə l
+bubble: b ʌ b ə l
+pebble: p ɛ b ə l
+riddle: ɹ ɪ d ə l
+kettle: k ɛ t ə l
+puzzle: p ʌ z ə l
+candle: k æ n d ə l
+handle: h æ n d ə l
+jungle: dʒ ʌ ŋ ɡ ə l
+single: s ɪ ŋ ɡ ə l
+ankle: æ ŋ k ə l
+purple: p ɝ p ə l
+turtle: t ɝ t ə l
+sample: s æ m p ə l
+temple: t ɛ m p ə l
+marble: m ɑ ɹ b ə l
+sparkle: s p ɑ ɹ k ə l
+twinkle: t w ɪ ŋ k ə l
+sled: s l ɛ d
+fled: f l ɛ d
+bled: b l ɛ d
+shred: ʃ ɹ ɛ d
+sped: s p ɛ d
+chess: tʃ ɛ s
+mess: m ɛ s
+bless: b l ɛ s
+stress: s t ɹ ɛ s
+confess: k ə n f ɛ s
+unless: ə n l ɛ s
+sting: s t ɪ ŋ
+cling: k l ɪ ŋ
+fling: f l ɪ ŋ
+strong: s t ɹ ɔ ŋ
+yam: j æ m
+yawn: j ɔ n
+yogurt: j oʊ ɡ ɚ t
+jet: dʒ ɛ t
+lemon: l ɛ m ə n
+melon: m ɛ l ə n
+seven: s ɛ v ə n
+eleven: ɪ l ɛ v ə n
+velvet: v ɛ l v ə t
+shadow: ʃ æ d oʊ
+meadow: m ɛ d oʊ
+elbow: ɛ l b oʊ
+arrow: ɛ ɹ oʊ
+pillow: p ɪ l oʊ
+fellow: f ɛ l oʊ
+swallow: s w ɑ l oʊ
+borrow: b ɑ ɹ oʊ
+sorrow: s ɑ ɹ oʊ
+tomorrow: t ə m ɑ ɹ oʊ
+widow: w ɪ d oʊ
+minnow: m ɪ n oʊ
+burrow: b ɝ oʊ
+sparrow: s p ɛ ɹ oʊ
+badge: b æ dʒ
+dodge: d ɑ dʒ
+fudge: f ʌ dʒ
+hedge: h ɛ dʒ
+ledge: l ɛ dʒ
+lodge: l ɑ dʒ
+nudge: n ʌ dʒ
+pledge: p l ɛ dʒ
+ridge: ɹ ɪ dʒ
+smudge: s m ʌ dʒ
+wedge: w ɛ dʒ
+juice: dʒ u s
+cruise: k ɹ u z
+bruise: b ɹ u z
+recruit: ɹ ɪ k ɹ u t
+pity: p ɪ t i
+silly: s ɪ l i
+chilly: tʃ ɪ l i
+jelly: dʒ ɛ l i
+berry: b ɛ ɹ i
+cherry: tʃ ɛ ɹ i
+merry: m ɛ ɹ i
+ferry: f ɛ ɹ i
+marry: m ɛ ɹ i
+sunny: s ʌ n i
+bunny: b ʌ n i
+puppy: p ʌ p i
+kitty: k ɪ t i
+body: b ɑ d i
+forty: f ɔ ɹ t i
+sixty: s ɪ k s t i
+twenty: t w ɛ n t i
+navy: n eɪ v i
+crazy: k ɹ eɪ z i
+tidy: t aɪ d i
+shiny: ʃ aɪ n i
+pony: p oʊ n i
+holy: h oʊ l i
+teen: t i n
+screen: s k ɹ i n
+thirteen: θ ɝ t i n
+fourteen: f ɔ ɹ t i n
+fifteen: f ɪ f t i n
+sixteen: s ɪ k s t i n
+canteen: k æ n t i n
+yank: j æ ŋ k
+yelp: j ɛ l p
+yield: j i l d
+"""
+
 
 def _parse(text: str) -> Dict[str, Tuple[str, ...]]:
     out: Dict[str, Tuple[str, ...]] = {}

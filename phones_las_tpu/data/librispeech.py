@@ -78,7 +78,8 @@ def prepare_librispeech(
     if g2p_model and targets == "phone":
         from phones_las_tpu.models.g2p_model import NeuralG2P
 
-        model = NeuralG2P(g2p_model)
+        model = (NeuralG2P.bundled() if g2p_model == "bundled"
+                 else NeuralG2P(g2p_model))
     if targets == "char":
         vocab = Vocab(_CHARS)
     else:

@@ -99,3 +99,47 @@ def test_new_languages_produce_phones():
         phones = text_to_ipa(text, lang)
         assert len(phones) >= 5, (lang, phones)
         assert all(phone_to_binf(p) != ("silence",) for p in phones), (lang, phones)
+
+
+def test_seq2seq_g2p_beats_rules_on_gold():
+    """The shipped seq2seq G2P (assets/g2p_en.npz — the framework's own
+    encoder/decoder stack trained on data/lexicon_en.py with dev early
+    stopping; round-2 verdict item 5) gates 3x tighter than the rule
+    tables: PER <= 0.05 on the same 70 held-out gold words (rules gate
+    <= 0.15, measured ~0.06). The gold set is asserted disjoint from
+    the training lexicon, so this measures generalization."""
+    from phones_las_tpu.data.lexicon_en import expanded_lexicon
+    from phones_las_tpu.models.g2p_model import NeuralG2P
+
+    lex = expanded_lexicon()
+    assert not (set(_EN_GOLD) & set(lex)), set(_EN_GOLD) & set(lex)
+
+    model = NeuralG2P.bundled()
+    hyps = model.lookup(list(_EN_GOLD))
+    dist = total = exact = 0
+    for word, gold in _EN_GOLD.items():
+        hyp = hyps[word]
+        ref = gold.split()
+        dist += _per(hyp, ref)
+        total += len(ref)
+        exact += hyp == ref
+    per = dist / total
+    assert per <= 0.05, f"seq2seq G2P regressed: PER {per:.4f} ({dist}/{total})"
+    assert exact / len(_EN_GOLD) >= 0.8, f"exact-word rate {exact}/{len(_EN_GOLD)}"
+
+
+def test_seq2seq_g2p_integrates_with_text_to_ipa():
+    """text_to_ipa(model=...): lexicon first, model for alphabetic OOV,
+    rules for what the model can't handle (digits)."""
+    from phones_las_tpu.data.g2p import _EN_LEXICON, text_to_ipa
+    from phones_las_tpu.models.g2p_model import NeuralG2P
+
+    model = NeuralG2P.bundled()
+    # lexicon words bypass the model entirely
+    assert text_to_ipa("two", "en", model=model) == list(_EN_LEXICON["two"])
+    # model handles an out-of-lexicon alphabetic word
+    out = model.lookup(["stations"])["stations"]
+    assert text_to_ipa("stations", "en", model=model) == out
+    # a numeral is outside the model's alphabet → rule/fallback path
+    # must not crash and must equal the model-less output
+    assert text_to_ipa("42", "en", model=model) == text_to_ipa("42", "en")
