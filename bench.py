@@ -113,11 +113,13 @@ def bench_tpu(batch_size=64, iters=20, precision="parity", wave=None):
 
 
 def bench_tpu_beam(batch_size=32, iters=5, precision="parity",
-                   beam_width=8, ctc_joint=False):
+                   beam_width=8, ctc_joint=False, attention=None):
     """The flagship decode as shipped (BASELINE configs[2]: beam width 8),
     so a beam-path regression shows up in the driver-captured JSON, not
     only in docs/PERF.md prose (round-2 verdict weak #1). ``ctc_joint``
-    adds the one-pass Watanabe prefix-score path with a CTC head."""
+    adds the one-pass Watanabe prefix-score path with a CTC head;
+    ``attention`` overrides the family (both compiled paths regress:
+    bahdanau is VPU-tanh-bound, luong is a pure MXU dot)."""
     import dataclasses
 
     import jax
@@ -131,6 +133,10 @@ def bench_tpu_beam(batch_size=32, iters=5, precision="parity",
     from __graft_entry__ import _flagship_cfg
 
     cfg = _flagship_cfg()
+    if attention:
+        cfg = dataclasses.replace(
+            cfg, speller=dataclasses.replace(cfg.speller, attention_type=attention)
+        )
     if ctc_joint:
         cfg = dataclasses.replace(cfg, ctc_weight=0.3)  # adds the CTC head
     if precision == "production":
@@ -161,7 +167,8 @@ def bench_tpu_beam(batch_size=32, iters=5, precision="parity",
     audio = jax.numpy.asarray(make_audio(batch_size))
     lengths = jax.numpy.full((batch_size,), N_SAMPLES, jax.numpy.int32)
 
-    tag = f"beam{beam_width}{'+ctc' if ctc_joint else ''}"
+    tag = f"beam{beam_width}{'+ctc' if ctc_joint else ''}" + (
+        f"[{attention}]" if attention else "")
     t0 = time.time()
     np.asarray(infer(params, audio, lengths)[0])
     log(f"tpu[{precision}][{tag}]: compile+warmup {time.time()-t0:.1f}s")
@@ -330,6 +337,7 @@ def main():
     beam8_parity = bench_tpu_beam(precision="parity")
     beam8_prod = bench_tpu_beam(precision="production")
     beam8_ctc = bench_tpu_beam(precision="production", ctc_joint=True)
+    beam8_luong = bench_tpu_beam(precision="production", attention="luong")
     # single-core CPU timing is noisy; take the faster of two runs so the
     # reported ratio is the conservative one
     cpu_rate = max(bench_cpu_baseline(), bench_cpu_baseline())
@@ -347,6 +355,7 @@ def main():
         "value_beam8_parity": round(beam8_parity, 2),
         "value_beam8_production": round(beam8_prod, 2),
         "value_beam8_ctcjoint_production": round(beam8_ctc, 2),
+        "value_beam8_luong_production": round(beam8_luong, 2),
         # achieved fraction of the v5e bf16 matmul peak (197 TF/s) for the
         # algorithmic FLOPs; parity mode additionally issues ~6x the MXU
         # work for the same algorithmic count (docs/PERF.md MFU section)
