@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from phones_las_tpu.api import Transcriber
 from phones_las_tpu.cli import prepare as prepare_cli
@@ -11,6 +12,7 @@ from phones_las_tpu.data.audio_io import write_wav
 from phones_las_tpu.data.pipeline import DataSource, PipelineConfig
 
 
+@pytest.mark.slow
 def test_transcriber_and_beam_eval(tmp_path):
     data, wd = str(tmp_path / "d"), str(tmp_path / "w")
     prepare_cli.main(["synthetic", "--out", data, "--n-utts", "10", "--n-phones", "4"])

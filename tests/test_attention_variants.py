@@ -9,6 +9,8 @@ from phones_las_tpu.models import LASConfig, ListenerConfig, SpellerConfig
 from phones_las_tpu.models.las import compute_loss, encode, init_las
 from phones_las_tpu.decode import greedy_decode
 
+pytestmark = pytest.mark.slow
+
 V = 9
 
 

@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from phones_las_tpu.decode.ctc import collapse, ctc_frame_ids
@@ -42,6 +43,7 @@ def test_collapse():
     assert collapse(ids, [3, 4]) == [[4], [6]]
 
 
+@pytest.mark.slow
 def test_joint_loss_and_grads():
     cfg = _cfg()
     params = init_las(jax.random.PRNGKey(0), cfg)
@@ -322,6 +324,7 @@ def test_joint_beam_follows_ctc_preference():
     assert np.isfinite(np.asarray(joint.scores)).all()
 
 
+@pytest.mark.slow
 def test_transcriber_ctc_joint_end_to_end(tmp_path):
     """Library API: one-pass joint decoding on a CTC-trained checkpoint."""
     from phones_las_tpu.api import Transcriber

@@ -12,6 +12,8 @@ from phones_las_tpu.cli import prepare as prepare_cli
 from phones_las_tpu.cli import train as train_cli
 from phones_las_tpu.export import ExportedTranscriber
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):

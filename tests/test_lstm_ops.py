@@ -5,12 +5,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from phones_las_tpu.ops import (
     init_lstm_params,
     lstm_layer,
     bilstm_layer,
     pyramid_reduce,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def _np_lstm(x, lens, p, forget_bias=1.0, reverse=False):

@@ -6,6 +6,10 @@ import jax.numpy as jnp
 
 from phones_las_tpu.ops import init_lstm_params, lstm_layer
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _setup(b=4, t=23, d=12, u=16, seed=0):
     p = init_lstm_params(jax.random.PRNGKey(seed), d, u)

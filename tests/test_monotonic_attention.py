@@ -10,6 +10,10 @@ from phones_las_tpu.models.speller import SpellerConfig, init_speller
 from phones_las_tpu.models.las import compute_loss, LASConfig, ListenerConfig, init_las
 from phones_las_tpu.decode import greedy_decode, beam_decode
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 V, BOS, EOS = 8, 1, 2
 
 
