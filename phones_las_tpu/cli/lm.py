@@ -47,7 +47,7 @@ def main(argv=None):
     else:
         paths = [args.data]
         vocab_file = os.path.join(os.path.dirname(args.data), "vocab.txt")
-    assert paths, f"no train records under {args.data}"
+    assert args.text or paths, f"no train records under {args.data}"
     vocab = Vocab.load(vocab_file)
 
     seqs = []

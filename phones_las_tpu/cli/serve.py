@@ -400,6 +400,12 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
         # response carries Content-Length or a terminating chunk, so
         # 1.1 keep-alive is safe
         protocol_version = "HTTP/1.1"
+        # idle keep-alive read timeout: without it a handler thread blocks
+        # in readline() forever after its last response, permanently
+        # pinning a max_inflight slot — 256 pooled (or slowloris)
+        # connections would 503 an otherwise idle server. On timeout
+        # handle_one_request closes the connection and frees the slot.
+        timeout = 60
 
         def log_message(self, fmt, *args):  # quiet access log
             pass
@@ -733,6 +739,15 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                         pass
                     self.shutdown_request(request)
                     return
+                try:
+                    super().process_request(request, client_address)
+                except BaseException:
+                    # thread spawn failed: the paired decrement in
+                    # process_request_thread will never run
+                    with self._inflight_lock:
+                        type(self)._inflight -= 1
+                    raise
+                return
             super().process_request(request, client_address)
 
         def process_request_thread(self, request, client_address):

@@ -1389,13 +1389,21 @@ def _plural(word: str, ipa: Tuple[str, ...]) -> Tuple[str, Tuple[str, ...]]:
 
 
 def _doubles(word: str) -> bool:
-    """CVC orthographic doubling before a vowel-initial suffix."""
+    """CVC orthographic doubling before a vowel-initial suffix — only
+    when the final syllable is stressed, which for this word list means
+    monosyllables (stop→stopping) but NOT offer/visit/enter/listen."""
+    import re
+
+    if len(re.findall(r"[aeiouy]+", word)) != 1:
+        return False
     return (len(word) >= 3 and word[-1] in "bdgmnprt"
             and word[-2] in "aeiou" and word[-3] not in "aeiou")
 
 
 def _ing(word: str, ipa: Tuple[str, ...]) -> Tuple[str, Tuple[str, ...]]:
-    if word.endswith("e") and not word.endswith("ee"):
+    if word.endswith("ie"):  # die→dying, tie→tying
+        sp = word[:-2] + "ying"
+    elif word.endswith("e") and not word.endswith("ee"):
         sp = word[:-1] + "ing"
     elif _doubles(word):
         sp = word + word[-1] + "ing"

@@ -146,18 +146,13 @@ def _pad_batch(vocab_c: Vocab, vocab_p: Vocab,
 
 
 def _eval_per(params, cfg, vocab_c, vocab_p, dev_items) -> float:
+    from phones_las_tpu.train.metrics import _edit_distance
+
     hyps = predict(params, cfg, vocab_c, vocab_p,
                    [w for w, _ in dev_items], beam_width=1)
     dist = total = 0
     for (w, ref), hyp in zip(dev_items, hyps):
-        ref = list(ref)
-        d = np.zeros((len(hyp) + 1, len(ref) + 1), np.int32)
-        d[:, 0], d[0, :] = np.arange(len(hyp) + 1), np.arange(len(ref) + 1)
-        for i in range(1, len(hyp) + 1):
-            for j in range(1, len(ref) + 1):
-                d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
-                              d[i - 1, j - 1] + (hyp[i - 1] != ref[j - 1]))
-        dist += int(d[-1, -1])
+        dist += _edit_distance(vocab_p.encode(hyp), vocab_p.encode(ref))
         total += len(ref)
     return dist / max(total, 1)
 

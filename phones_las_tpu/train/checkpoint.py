@@ -63,15 +63,21 @@ class CheckpointManager:
                 ),
             )
             return out["state"], out["meta"].get("epoch", 0)
-        except Exception:
-            raw = self._mgr.restore(
-                step,
-                args=ocp.args.Composite(
-                    state=ocp.args.StandardRestore(),
-                    meta=ocp.args.JsonRestore(),
-                ),
-            )
-            state = _graft_legacy(abstract_state, raw["state"])
+        except Exception as structured_err:
+            try:
+                raw = self._mgr.restore(
+                    step,
+                    args=ocp.args.Composite(
+                        state=ocp.args.StandardRestore(),
+                        meta=ocp.args.JsonRestore(),
+                    ),
+                )
+                state = _graft_legacy(abstract_state, raw["state"])
+            except Exception as graft_err:
+                # the fallback exists for legacy-structure checkpoints;
+                # anything else (corruption, IO) must surface the ORIGINAL
+                # structured-restore error, not the graft's secondary one
+                raise graft_err from structured_err
             return state, raw["meta"].get("epoch", 0)
 
     def wait(self):
