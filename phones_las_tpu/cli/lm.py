@@ -52,11 +52,27 @@ def main(argv=None):
 
     seqs = []
     if args.text:
+        n_unk = n_tok = 0
         with open(args.text) as f:
             for line in f:
                 toks = line.split()
                 if toks:
-                    seqs.append(np.asarray(vocab.encode(toks), np.int32))
+                    ids = vocab.encode(toks)
+                    n_tok += len(ids)
+                    n_unk += sum(i == vocab.unk_id for i in ids)
+                    seqs.append(np.asarray(ids, np.int32))
+        if n_unk:
+            # silent <unk> mass would put LM probability on transitions
+            # that never occur at decode time
+            import sys
+
+            print(f"WARNING: {n_unk}/{n_tok} tokens in {args.text} are "
+                  f"not in {vocab_file} and were mapped to <unk>",
+                  file=sys.stderr)
+            assert n_unk < n_tok // 2, (
+                "more than half the --text tokens are out-of-vocab; the "
+                "text file's token convention does not match the vocab"
+            )
     else:
         for path in paths:
             for utt in RecordReader(path):

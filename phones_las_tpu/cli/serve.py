@@ -159,6 +159,9 @@ class BatchingWorker:
         # without bound (round-2 verdict weak #4). 0 → unbounded.
         self.max_pending = max_pending
         self.q: "queue.Queue[_Pending]" = queue.Queue(maxsize=max_pending)
+        # rolling per-batch service time (seconds) — feeds Retry-After;
+        # seeded with the batch-open window until the first measurement
+        self.batch_seconds = max(self.wait_s, 0.05)
         self._stop = False
         self._threads = [
             threading.Thread(target=self._run, args=(t,), daemon=True)
@@ -204,11 +207,18 @@ class BatchingWorker:
                 # pad to a fixed batch size so one compiled program (per
                 # pad quantum) serves all traffic — otherwise every
                 # distinct request count would trigger an XLA compile
+                import time
+
                 pcms = [p.pcm for p in batch]
                 pad_rows = self.max_batch - len(pcms)
                 if pad_rows > 0:
                     pcms += [np.zeros(1600, np.int16)] * pad_rows
+                t0 = time.monotonic()
                 results = t.transcribe_batch(pcms)
+                dt = time.monotonic() - t0
+                # EMA over batch service time (no lock: float store is
+                # atomic and Retry-After only needs an estimate)
+                self.batch_seconds = 0.8 * self.batch_seconds + 0.2 * dt
                 for p, r in zip(batch, results):
                     p.result = r
             except BaseException as e:  # answer the whole batch with the
@@ -410,11 +420,13 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
         def log_message(self, fmt, *args):  # quiet access log
             pass
 
-        def _json(self, code: int, obj):
+        def _json(self, code: int, obj, headers=()):
             self._last_status = code
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
+            for k, v in headers:
+                self.send_header(k, v)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -680,17 +692,17 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                     p = worker.submit(pcm)
                 except queue.Full:
                     # overload: fail fast instead of pinning this thread
-                    # + queue entry until the backlog drains
-                    retry = max(1, worker.q.qsize() // max(max_batch, 1))
-                    self._last_status = 429
-                    body = json.dumps({"error": "server over capacity"}).encode()
-                    self.send_response(429)
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Retry-After", str(retry))
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
-                    return
+                    # + queue entry until the backlog drains. Retry-After
+                    # = batches queued × measured per-batch service time
+                    # (not batch *count* — that overestimated ~10-50x).
+                    batches = -(-worker.q.qsize() // max(max_batch, 1))
+                    import math
+
+                    retry = max(1, math.ceil(batches * worker.batch_seconds))
+                    return self._json(
+                        429, {"error": "server over capacity"},
+                        headers=[("Retry-After", str(retry))],
+                    )
                 p.event.wait()
                 if p.error is not None:
                     return self._json(500, {"error": p.error})
@@ -735,6 +747,20 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                     metrics.request("overload", 503)
                     try:
                         request.sendall(_overload_resp)
+                        # drain already-buffered request bytes before
+                        # closing: close() with unread data in the receive
+                        # buffer emits a TCP RST that discards the
+                        # in-flight 503 client-side (ECONNRESET instead of
+                        # 503 + Retry-After). Non-blocking only — this
+                        # runs in the accept thread, so it must not wait
+                        # on a slow sender.
+                        request.setblocking(False)
+                        drained = 0
+                        while drained < (1 << 20):
+                            chunk = request.recv(65536)
+                            if not chunk:
+                                break
+                            drained += len(chunk)
                     except OSError:
                         pass
                     self.shutdown_request(request)

@@ -439,7 +439,10 @@ def text_to_ipa(
             phones.append("sil")
         if word in lex:
             phones.extend(lex[word])
-        elif word in neural:
+        elif neural.get(word):
+            # a zero-phone neural prediction (decoder emitted <eos> at
+            # step 0 on a degenerate input) falls back to the rules —
+            # silently deleting the word would mislabel prep transcripts
             phones.extend(neural[word])
         else:
             phones.extend(word_to_ipa(word, rules))

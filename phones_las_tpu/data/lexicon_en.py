@@ -1428,10 +1428,12 @@ def _past(word: str, ipa: Tuple[str, ...]) -> Tuple[str, Tuple[str, ...]]:
 
 
 # regular verbs from the base list that take -s / -ing / -ed with the
-# orthography handled by the helpers above (strong verbs excluded)
+# orthography handled by the helpers above (strong verbs excluded —
+# beat/bend/sell/shake/spin/wake stay base-form only: their pasts are
+# irregular and '-ed' forms would be nonwords)
 _REGULAR_VERBS = [
     "act", "add", "answer", "appear", "arrive", "ask", "attack", "avoid",
-    "bake", "beat", "believe", "belong", "bend", "blame", "block", "boil",
+    "bake", "believe", "belong", "blame", "block", "boil",
     "borrow", "brush", "burn", "call", "camp", "carry", "cause", "chase",
     "check", "claim", "clean", "climb", "collect", "connect", "control",
     "cook", "copy", "count", "cover", "crack", "crash", "cross", "dance",
@@ -1448,12 +1450,12 @@ _REGULAR_VERBS = [
     "press", "print", "promise", "prove", "pull", "push", "race", "rain",
     "raise", "reach", "remain", "remember", "remove", "rent", "repeat",
     "reply", "report", "rest", "return", "roar", "roll", "rub", "rush",
-    "sail", "save", "scare", "score", "seem", "sell", "serve", "settle",
-    "shake", "share", "shine", "shock", "shout", "sign", "smell", "smile",
-    "smoke", "spell", "spin", "stamp", "stare", "start", "stay", "step",
+    "sail", "save", "scare", "score", "seem", "serve", "settle",
+    "share", "shine", "shock", "shout", "sign", "smell", "smile",
+    "smoke", "spell", "stamp", "stare", "start", "stay", "step",
     "stop", "study", "suppose", "support", "talk", "taste", "thank",
     "tie", "tip", "trade", "trap", "travel", "treat", "trick", "trust",
-    "try", "turn", "type", "visit", "vote", "wait", "wake", "walk",
+    "try", "turn", "type", "visit", "vote", "wait", "walk",
     "want", "wash", "watch", "wave", "wish", "worry", "wrap", "yell",
 ]
 

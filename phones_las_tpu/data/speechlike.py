@@ -171,7 +171,11 @@ def sample_sentence(
     n_syllables_range=(2, 6),
 ) -> List[str]:
     seq: List[str] = []
-    for _ in range(rng.randint(*n_syllables_range)):
+    # inclusive bounds (numpy randint's upper bound is exclusive; the
+    # CLI documents --syllables LO HI as a closed range, and LO == HI
+    # must mean exactly LO, not a ValueError)
+    for _ in range(rng.randint(n_syllables_range[0],
+                               n_syllables_range[1] + 1)):
         onset_idx = 0
         if rng.rand() < model.p_onset:
             onset_idx = 1 + rng.choice(len(CONSONANTS), p=model.onset_p)
@@ -247,7 +251,7 @@ def _plan_segments(rng, seq: Sequence[str]) -> List[_Segment]:
     segs = []
     for p in seq:
         spec = PHONE_SPECS[p]
-        dur = rng.randint(*spec.dur_ms) * SAMPLE_RATE // 1000
+        dur = rng.randint(spec.dur_ms[0], spec.dur_ms[1] + 1) * SAMPLE_RATE // 1000
         closure = 0
         if spec.kind == "stop":
             closure = rng.randint(30, 55) * SAMPLE_RATE // 1000

@@ -52,16 +52,12 @@ _EN_GOLD = {
 
 
 def _per(hyp, ref):
-    import numpy as np
+    from phones_las_tpu.train.metrics import _edit_distance
 
-    d = np.zeros((len(hyp) + 1, len(ref) + 1), np.int32)
-    d[:, 0] = np.arange(len(hyp) + 1)
-    d[0, :] = np.arange(len(ref) + 1)
-    for i in range(1, len(hyp) + 1):
-        for j in range(1, len(ref) + 1):
-            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
-                          d[i - 1, j - 1] + (hyp[i - 1] != ref[j - 1]))
-    return int(d[-1, -1])
+    # map tokens to ids so the shared (C-accelerated when available)
+    # edit distance applies
+    ids = {t: i for i, t in enumerate(dict.fromkeys(list(hyp) + list(ref)))}
+    return _edit_distance([ids[t] for t in hyp], [ids[t] for t in ref])
 
 
 def test_en_letter_to_sound_accuracy():

@@ -205,3 +205,50 @@ def test_accepted_requests_still_correct_under_overload(workdir):
     finally:
         worker.stop()
         server.shutdown()
+
+
+def test_inflight_cap_503_survives_unread_body(workdir):
+    """A rejected POST that already sent its body must still receive the
+    canned 503 — closing with unread data in the receive buffer would
+    RST the connection and destroy the response client-side."""
+    t = Transcriber(workdir)
+    server, worker, base = _serve(
+        t, max_batch=1, batch_wait_ms=50.0, max_pending=64, max_inflight=1
+    )
+    try:
+        port = int(base.rsplit(":", 1)[1])
+        hog = socket.create_connection(("127.0.0.1", port))
+        hog.sendall(b"POST /transcribe?raw=1 HTTP/1.1\r\n"
+                    b"Host: x\r\nContent-Length: 16000\r\n\r\n")
+        time.sleep(0.3)  # the single inflight slot is now taken
+
+        body = (np.random.RandomState(3).randn(4000) * 2000
+                ).astype(np.int16).tobytes()
+        codes = []
+
+        def client():
+            req = urllib.request.Request(base + "/transcribe?raw=1",
+                                         data=body)
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    r.read()
+                    codes.append(r.status)
+            except urllib.error.HTTPError as e:
+                e.read()
+                codes.append(e.code)
+            except Exception as e:  # ECONNRESET lands here — the bug
+                codes.append(f"{type(e).__name__}")
+
+        threads = [threading.Thread(target=client) for _ in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        # every rejected client must see a real HTTP status, never a
+        # connection reset
+        assert all(isinstance(c, int) for c in codes), codes
+        assert 503 in codes, codes
+        hog.close()
+    finally:
+        worker.stop()
+        server.shutdown()
