@@ -280,7 +280,7 @@ class NeuralG2P:
     @classmethod
     def bundled(cls, **kw) -> "NeuralG2P":
         """The shipped EN model (assets/g2p_en.npz: trained on the
-        expanded lexicon with dev early stopping; gold-set PER 0.045 vs
+        expanded lexicon with dev early stopping; gold-set PER 0.048 vs
         the rule tables' ~0.06 — tests/test_g2p_coverage.py gates it
         at ≤ 0.05)."""
         import os
