@@ -144,3 +144,27 @@ def test_grapheme_targets_use_transliteration(tmp_path):
     decoded = "".join(gvocab.decode(u.grapheme_targets))
     want = "|".join(PHONE_SPECS[p].translit for p in u.text.split())
     assert decoded == want
+
+
+def test_word_error_stats():
+    """WER over word-break-separated token streams: substitutions and
+    deletions count whole words; identical streams score 0."""
+    import numpy as np
+
+    from phones_las_tpu.train.metrics import word_error_stats
+
+    SEP = 9
+    ref = np.array([[1, 2, SEP, 3, 4, SEP, 5, 0]])
+    rl = np.array([7])
+    # identical
+    d, n = word_error_stats(ref, rl, ref, rl, SEP)
+    assert (d, n) == (0, 3)
+    # one word substituted ([3,4] -> [3,7]), one deleted
+    hyp = np.array([[1, 2, SEP, 3, 7, 0, 0, 0]])
+    d, n = word_error_stats(hyp, np.array([5]), ref, rl, SEP)
+    assert (d, n) == (2, 3)
+    # leading/trailing/double separators produce no empty words
+    hyp2 = np.array([[SEP, 1, 2, SEP, SEP, 3, 4, SEP]])
+    ref2 = np.array([[1, 2, SEP, 3, 4, 0, 0, 0]])
+    d, n = word_error_stats(hyp2, np.array([8]), ref2, np.array([5]), SEP)
+    assert (d, n) == (0, 2)
