@@ -232,12 +232,19 @@ def main(argv=None):
 
         mesh = make_mesh(model=args.model_parallel)
 
+    g_sep = None
+    if gvocab is not None:
+        g_sep = next(
+            (gvocab.encode([t])[0] for t in ("<space>", "|") if t in gvocab),
+            None,
+        )
     trainer = Trainer(
         preset.model, preset.train, workdir=args.workdir,
         binf_codes=binf_codes, score_fold=fold,
         implementation=args.implementation,
         default_decode_steps=preset.pipeline.max_target_len,
         eval_beam_width=preset.beam_width,  # periodic eval honors the preset
+        grapheme_word_sep_id=g_sep,  # grapheme-head WER in periodic eval
         mesh=mesh,
     )
     if args.init_checkpoint and int(trainer.state.step) == 0:

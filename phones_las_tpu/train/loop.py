@@ -55,9 +55,13 @@ class Trainer:
         default_decode_steps: int = 100,
         eval_beam_width: int = 0,
         decode_cap_ratio: float = 1.0,
+        grapheme_word_sep_id: Optional[int] = None,
         mesh=None,
     ):
         self.mesh = mesh
+        # word-break token id of the grapheme stream (librispeech
+        # '<space>', speechlike '|') → periodic eval also reports WER
+        self.grapheme_word_sep_id = grapheme_word_sep_id
         self.default_decode_steps = default_decode_steps
         self.eval_beam_width = eval_beam_width
         self.decode_cap_ratio = decode_cap_ratio
@@ -445,6 +449,7 @@ class Trainer:
     ) -> Dict:
         dist = tokens = 0
         g_dist = g_tokens = 0
+        w_dist = w_words = 0
         losses = []
         first_image = None
         eval_params = self._eval_params()
@@ -481,14 +486,25 @@ class Trainer:
                 )
                 g_dist += gd
                 g_tokens += gt
+                if self.grapheme_word_sep_id is not None:
+                    wd, wt = M.word_error_stats(
+                        np.asarray(out["g_tokens"]),
+                        np.asarray(out["g_lengths"]),
+                        np.asarray(batch["grapheme_targets"]),
+                        np.asarray(batch["grapheme_lengths"]) - 1,
+                        self.grapheme_word_sep_id,
+                        num_real=batch.get("num_real"),
+                    )
+                    w_dist += wd
+                    w_words += wt
         if writer is not None and first_image is not None:
             writer.write_images(
                 step if step is not None else int(self.state.step),
                 {"attention_alignment": first_image[None]},
             )
-        dist, tokens, g_dist, g_tokens, loss_sum, loss_n = (
+        dist, tokens, g_dist, g_tokens, w_dist, w_words, loss_sum, loss_n = (
             self._allreduce_metrics([
-                dist, tokens, g_dist, g_tokens,
+                dist, tokens, g_dist, g_tokens, w_dist, w_words,
                 float(np.sum(losses)) if losses else 0.0, len(losses),
             ])
         )
@@ -500,6 +516,9 @@ class Trainer:
         if g_tokens:
             res["cer"] = M.per_from_stats(int(g_dist), int(g_tokens))
             res["grapheme_ref_tokens"] = int(g_tokens)
+        if w_words:
+            res["wer"] = M.per_from_stats(int(w_dist), int(w_words))
+            res["ref_words"] = int(w_words)
         return res
 
     def decode_cap(self, batch: Dict) -> int:
