@@ -48,11 +48,24 @@ def main(argv=None):
 
         lex = expanded_lexicon()
         if args.extra_lexicon:
+            from phones_las_tpu.models.g2p_model import G2P_CHARS
+
+            allowed = set(G2P_CHARS)
             with open(args.extra_lexicon) as f:
-                for line in f:
+                for lineno, line in enumerate(f, 1):
                     word, _, phones = line.partition(":")
-                    if phones.split():
-                        lex[word.strip()] = tuple(phones.split())
+                    # lookups key on normalize_text output (lowercased);
+                    # store the same form or the pair never matches
+                    word = word.strip().lower()
+                    if not phones.split() or not word:
+                        continue
+                    bad = set(word) - allowed
+                    if bad:
+                        print(f"--extra-lexicon:{lineno}: skipping "
+                              f"{word!r} (chars outside the G2P "
+                              f"alphabet: {sorted(bad)})")
+                        continue
+                    lex[word] = tuple(phones.split())
         params, cfg, vc, vp = train_g2p(
             lex, steps=args.steps, batch_size=args.batch_size,
             learning_rate=args.learning_rate, seed=args.seed,

@@ -64,6 +64,17 @@ class CheckpointManager:
             )
             return out["state"], out["meta"].get("epoch", 0)
         except Exception as structured_err:
+            # the graft fallback exists only for pytree-structure drift
+            # (legacy checkpoints missing a since-added leaf); transient
+            # IO errors / corruption should fail immediately rather than
+            # re-read the full checkpoint a second time first
+            msg = str(structured_err).lower()
+            structural = any(
+                k in msg for k in ("structure", "pytree", "tree", "leaf",
+                                   "key", "field", "missing", "mismatch")
+            )
+            if not structural:
+                raise
             try:
                 raw = self._mgr.restore(
                     step,
