@@ -66,6 +66,11 @@ def main(argv=None):
     sl.add_argument("--seed", type=int, default=0)
     sl.add_argument("--snr-db", type=float, nargs=2, default=[8.0, 30.0])
     sl.add_argument("--syllables", type=int, nargs=2, default=[2, 6])
+    sl.add_argument("--words", type=int, nargs=2, default=None,
+                    metavar=("LO", "HI"),
+                    help="sentence mode: group syllables into words of "
+                         "LO-HI syllables with inter-word silences "
+                         "(long-utterance realism)")
     sl.add_argument("--graphemes", action="store_true")
 
     args = p.parse_args(argv)
@@ -103,6 +108,7 @@ def main(argv=None):
             snr_db_range=tuple(args.snr_db),
             n_syllables_range=tuple(args.syllables),
             graphemes=args.graphemes,
+            word_syllables=tuple(args.words) if args.words else None,
         )
         _, vocab = write_speechlike_corpus(
             os.path.join(args.out, "train.plu"),

@@ -118,6 +118,17 @@ CONSONANTS = [p for p, s in PHONE_SPECS.items()
               if s.kind in ("nasal", "fric", "stop")]
 
 
+# inter-word silence marker (sentence mode): synthesized as silence,
+# blocks coarticulation across the word boundary, never appears as a
+# label and is not part of the phone inventory
+PAUSE = "_"
+_PAUSE_SPEC = PhoneSpec("pause", dur_ms=(60, 180), gain=0.0)
+
+
+def _spec(phone: str) -> PhoneSpec:
+    return _PAUSE_SPEC if phone == PAUSE else PHONE_SPECS[phone]
+
+
 def speechlike_phone_inventory() -> List[str]:
     return sorted(PHONE_SPECS.keys())
 
@@ -169,13 +180,28 @@ def make_phonotactics(seed: int = 1234) -> Phonotactics:
 def sample_sentence(
     rng: np.random.RandomState, model: Phonotactics,
     n_syllables_range=(2, 6),
+    word_syllables: Optional[Tuple[int, int]] = None,
 ) -> List[str]:
+    """``word_syllables=(lo, hi)`` enables sentence mode: syllables are
+    grouped into words of lo–hi syllables with a ``PAUSE`` marker
+    between words (long-utterance realism: silent gaps the attention
+    alignment must skip)."""
     seq: List[str] = []
+    syllables_left_in_word = (
+        rng.randint(word_syllables[0], word_syllables[1] + 1)
+        if word_syllables else -1
+    )
     # inclusive bounds (numpy randint's upper bound is exclusive; the
     # CLI documents --syllables LO HI as a closed range, and LO == HI
     # must mean exactly LO, not a ValueError)
     for _ in range(rng.randint(n_syllables_range[0],
                                n_syllables_range[1] + 1)):
+        if word_syllables and syllables_left_in_word == 0:
+            seq.append(PAUSE)
+            syllables_left_in_word = rng.randint(
+                word_syllables[0], word_syllables[1] + 1
+            )
+        syllables_left_in_word -= 1
         onset_idx = 0
         if rng.rand() < model.p_onset:
             onset_idx = 1 + rng.choice(len(CONSONANTS), p=model.onset_p)
@@ -250,7 +276,7 @@ class _Segment:
 def _plan_segments(rng, seq: Sequence[str]) -> List[_Segment]:
     segs = []
     for p in seq:
-        spec = PHONE_SPECS[p]
+        spec = _spec(p)
         dur = rng.randint(spec.dur_ms[0], spec.dur_ms[1] + 1) * SAMPLE_RATE // 1000
         closure = 0
         if spec.kind == "stop":
@@ -270,9 +296,10 @@ def synth_speech_utterance(
     amplitude=9000.0,
     grapheme_vocab: Optional[Vocab] = None,
     phones: Optional[Sequence[str]] = None,
+    word_syllables: Optional[Tuple[int, int]] = None,
 ) -> Utterance:
     seq = list(phones) if phones is not None else sample_sentence(
-        rng, model, n_syllables_range
+        rng, model, n_syllables_range, word_syllables=word_syllables
     )
     # --- speaker draw
     f0_base = float(np.exp(rng.uniform(np.log(90.0), np.log(240.0))))
@@ -294,7 +321,7 @@ def synth_speech_utterance(
         spans.append((pos, seg))
         pos += seg.closure + seg.n
     for start, seg in spans:
-        spec = PHONE_SPECS[seg.phone]
+        spec = _spec(seg.phone)
         f_lo = (start + seg.closure) // hop
         f_hi = min((start + seg.closure + seg.n) // hop + 1, n_frames)
         if spec.kind in ("vowel", "glide", "nasal") or (
@@ -309,7 +336,7 @@ def synth_speech_utterance(
     trans = max(int(35 / _FRAME_MS), 1)
     for i in range(len(spans)):
         start, seg = spans[i]
-        spec = PHONE_SPECS[seg.phone]
+        spec = _spec(seg.phone)
         if spec.kind not in ("vowel", "glide"):
             continue
         f_lo = (start + seg.closure) // hop
@@ -317,7 +344,7 @@ def synth_speech_utterance(
         for side, j in ((0, i - 1), (1, i + 1)):
             if not (0 <= j < len(spans)):
                 continue
-            nb = PHONE_SPECS[spans[j][1].phone]
+            nb = _spec(spans[j][1].phone)
             locus = nb.locus if nb.locus is not None else (
                 nb.formants if nb.kind in ("vowel", "glide") else None
             )
@@ -367,7 +394,7 @@ def synth_speech_utterance(
     # --- noise components (fricatives, bursts, aspiration)
     noise = np.zeros(total)
     for idx, (start, seg) in enumerate(spans):
-        spec = PHONE_SPECS[seg.phone]
+        spec = _spec(seg.phone)
         if spec.kind == "fric":
             seg_n = seg.n
             band = spec.noise_band
@@ -375,8 +402,8 @@ def synth_speech_utterance(
                 # aspiration colored by the following vowel's formants:
                 # reuse its F2 region
                 nxt = spans[idx + 1][1].phone if idx + 1 < len(spans) else None
-                if nxt and PHONE_SPECS[nxt].kind == "vowel":
-                    f2 = PHONE_SPECS[nxt].formants[1] * vtln
+                if nxt and _spec(nxt).kind == "vowel":
+                    f2 = _spec(nxt).formants[1] * vtln
                     band = (max(f2 - 600, 300), f2 + 900)
             x = _band_noise(rng, seg_n, band) * spec.gain
             ramp = np.minimum(np.minimum(
@@ -412,17 +439,19 @@ def synth_speech_utterance(
     audio = (clean + bg) * amplitude * rng.uniform(0.6, 1.0)
     audio = np.clip(audio, -32000, 32000)
 
-    targets = np.asarray(vocab.encode(seq), np.int32)
+    # PAUSE markers shape the audio only — they are never labels
+    label_seq = [p for p in seq if p != PAUSE]
+    targets = np.asarray(vocab.encode(label_seq), np.int32)
     graphemes = None
     if grapheme_vocab is not None:
         chars: List[str] = []
-        for j, p in enumerate(seq):
+        for j, p in enumerate(label_seq):
             if j:
                 chars.append("|")
             chars += list(PHONE_SPECS[p].translit)
         graphemes = np.asarray(grapheme_vocab.encode(chars), np.int32)
     return Utterance(utt_id, audio.astype(np.int16), targets, graphemes,
-                     " ".join(seq))
+                     " ".join(label_seq))
 
 
 def write_speechlike_corpus(
@@ -434,6 +463,7 @@ def write_speechlike_corpus(
     n_syllables_range: Tuple[int, int] = (2, 6),
     snr_db_range: Tuple[float, float] = (8.0, 30.0),
     graphemes: bool = False,
+    word_syllables: Optional[Tuple[int, int]] = None,
 ) -> Tuple[str, Vocab]:
     """Write a .plu record file; the phonotactic model is derived from
     ``phonotactics_seed`` alone, so train/test splits (different
@@ -450,5 +480,6 @@ def write_speechlike_corpus(
                 rng, vocab, f"spl-{seed}-{i:05d}", model=model,
                 n_syllables_range=n_syllables_range,
                 snr_db_range=snr_db_range, grapheme_vocab=gvocab,
+                word_syllables=word_syllables,
             ))
     return path, vocab

@@ -168,3 +168,43 @@ def test_word_error_stats():
     ref2 = np.array([[1, 2, SEP, 3, 4, 0, 0, 0]])
     d, n = word_error_stats(hyp2, np.array([8]), ref2, np.array([5]), SEP)
     assert (d, n) == (0, 2)
+
+
+def test_sentence_mode_pauses_are_silent_and_unlabeled():
+    """word_syllables groups syllables into words separated by PAUSE
+    markers; pauses synthesize as near-silence and never appear in
+    targets/text, and utterances reach the long (multi-second) regime."""
+    import numpy as np
+
+    from phones_las_tpu.data.speechlike import (
+        PAUSE,
+        make_phonotactics,
+        sample_sentence,
+        synth_speech_utterance,
+        speechlike_phone_inventory,
+    )
+    from phones_las_tpu.data.vocab import Vocab
+
+    model = make_phonotactics()
+    rng = np.random.RandomState(7)
+    seq = sample_sentence(rng, model, (30, 40), word_syllables=(2, 4))
+    assert seq.count(PAUSE) >= 3
+    # words are 2-4 syllables -> pauses are separated, never adjacent
+    assert all(a != PAUSE or b != PAUSE for a, b in zip(seq, seq[1:]))
+
+    vocab = Vocab(speechlike_phone_inventory())
+    u = synth_speech_utterance(
+        rng, vocab, "sent-0", model=model, n_syllables_range=(30, 40),
+        word_syllables=(2, 4), snr_db_range=(30.0, 30.0),
+    )
+    assert PAUSE not in u.text.split()
+    assert len(u.targets) == len(u.text.split())
+    assert len(u.audio) / 16000.0 > 5.0  # long-utterance regime
+
+    # the same explicit phone list with a pause inserted produces the
+    # same label sequence and a quiet gap: pauses are audio-only
+    u2 = synth_speech_utterance(
+        rng, vocab, "sent-1", model=model,
+        phones=["a", "s", PAUSE, "o"], snr_db_range=(60.0, 60.0),
+    )
+    assert u2.text == "a s o"
