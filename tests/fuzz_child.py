@@ -105,6 +105,83 @@ def mutate(rng, data: bytes) -> bytes:
     return bytes(buf)
 
 
+# extreme values for length-field corruption: zero, off-by-one around
+# plausible sizes, sign-bit, and all-ones (size_t underflow bait)
+_EXTREME_U32 = (0, 1, 2, 0x7FFFFFFF, 0x80000000, 0xFFFFFFFE, 0xFFFFFFFF)
+
+
+def mutate_mp3_frame_header(rng, data: bytes) -> bytes:
+    """Structure-aware MP3 mutation: find a frame sync (0xFF Ex/Fx) and
+    flip bits inside the 4-byte frame header — version/layer/bitrate/
+    samplerate/padding/channel fields — which byte-level mutation rarely
+    hits in a way that keeps the sync valid."""
+    buf = bytearray(data)
+    syncs = [i for i in range(len(buf) - 4)
+             if buf[i] == 0xFF and (buf[i + 1] & 0xE0) == 0xE0]
+    if not syncs:
+        return mutate(rng, data)
+    at = syncs[rng.randint(len(syncs))]
+    for _ in range(rng.randint(1, 4)):
+        # flip bits in header bytes 1-3 (keep byte 0 = 0xFF so the
+        # decoder still treats it as a frame header, not garbage to skip)
+        off = at + 1 + rng.randint(3)
+        buf[off] ^= 1 << rng.randint(8)
+    if rng.randint(2):  # half the time also truncate mid-frame
+        buf = buf[: at + rng.randint(4, min(len(buf) - at, 400))]
+    return bytes(buf)
+
+
+def plu_length_field_offsets(data: bytes):
+    """Walk the .plu framing (header-len u32, then per-record payload-len
+    u32 with nested uid/audio/targets/graphemes/text length fields) and
+    return the byte offsets of every length field actually present."""
+    import struct
+
+    offs = []
+    pos = 0
+    if len(data) < 4:
+        return offs
+    offs.append(0)
+    hdr_len = struct.unpack_from("<I", data, 0)[0]
+    pos = 4 + hdr_len
+    while pos + 4 <= len(data):
+        offs.append(pos)  # record payload length
+        (plen,) = struct.unpack_from("<I", data, pos)
+        payload_start = pos + 4
+        # nested fields: uid len, audio n, targets n, graphemes n, text len
+        p = payload_start
+        for elem_size in (1, 2, 4, 4, 1):
+            if p + 4 > len(data) or p + 4 > payload_start + plen:
+                break
+            offs.append(p)
+            (n,) = struct.unpack_from("<I", data, p)
+            p += 4 + n * elem_size
+        pos = payload_start + plen
+    return offs
+
+
+def mutate_plu_lengths(rng, data: bytes) -> bytes:
+    """Structure-aware .plu mutation: overwrite real length fields with
+    extreme values (the class of bug that turns into size_t underflow /
+    giant reserve() in a native reader)."""
+    import struct
+
+    offs = plu_length_field_offsets(data)
+    if not offs:
+        return mutate(rng, data)
+    buf = bytearray(data)
+    for _ in range(rng.randint(1, 4)):
+        at = offs[rng.randint(len(offs))]
+        val = _EXTREME_U32[rng.randint(len(_EXTREME_U32))]
+        if rng.randint(2):  # or an off-by-one of the true value
+            (true,) = struct.unpack_from("<I", bytes(buf), at)
+            val = max(0, true + rng.randint(-2, 3)) & 0xFFFFFFFF
+        struct.pack_into("<I", buf, at, val)
+    if rng.randint(4) == 0:
+        buf = buf[: rng.randint(len(buf) + 1)]
+    return bytes(buf)
+
+
 def fuzz_audio(fmt: str, n: int, seed: int, tmp: str) -> None:
     from phones_las_tpu.data import audio_io
 
@@ -123,7 +200,10 @@ def fuzz_audio(fmt: str, n: int, seed: int, tmp: str) -> None:
     for i in range(n):
         data, ext = fixtures[i % len(fixtures)]
         p = os.path.join(tmp, f"m{ext}")
-        open(p, "wb").write(mutate(rng, data))
+        # every 3rd mp3 mutation is structure-aware (frame-header flips)
+        mut = (mutate_mp3_frame_header if fmt == "mp3" and i % 3 == 0
+               else mutate)
+        open(p, "wb").write(mut(rng, data))
         try:
             audio_io.read_audio(p)
             ok += 1
@@ -142,9 +222,11 @@ def fuzz_plu(n: int, seed: int, tmp: str) -> None:
     ok = err = 0
     for i in range(n):
         p = os.path.join(tmp, "m.plu")
-        # alternate: corrupt the records, the index, or both
+        # alternate: corrupt the records, the index, or both; every 3rd
+        # record mutation is structure-aware length-field corruption
         which = i % 3
-        open(p, "wb").write(mutate(rng, data) if which != 1 else data)
+        rec_mut = mutate_plu_lengths if i % 3 == 0 else mutate
+        open(p, "wb").write(rec_mut(rng, data) if which != 1 else data)
         open(p + ".idx", "wb").write(
             mutate(rng, idx) if which != 0 else idx)
         try:
