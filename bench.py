@@ -206,20 +206,105 @@ def bench_tpu_beam(batch_size=32, iters=5, precision="parity",
     return rate
 
 
+def bench_train(batch_size=32, iters=30, precision="production"):
+    """Flagship TRAIN step (loss+grads+Adam, the Trainer's jitted step on
+    BASELINE configs[2] shape) so train-side regressions and train MFU are
+    driver-captured, not only docs/PERF.md prose (round-3 verdict weak #4).
+    Returns milliseconds per optimizer step at ``batch_size`` 10 s
+    utterances with DECODE_STEPS-token targets."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from phones_las_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from phones_las_tpu.models.las import compute_loss, init_las
+    from phones_las_tpu.train.state import (
+        TrainConfig, TrainState, create_train_state, make_optimizer,
+        mask_grads,
+    )
+    from __graft_entry__ import _flagship_cfg
+
+    if TINY:
+        batch_size, iters = 4, 2
+    cfg = _flagship_cfg(tiny=TINY)
+    if precision == "production":
+        cfg = dataclasses.replace(
+            cfg, frontend=dataclasses.replace(cfg.frontend, precision="high")
+        )
+    prec = "highest" if precision == "parity" else "default"
+    tcfg = TrainConfig()
+    tx = make_optimizer(tcfg)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, tcfg, None)
+    impl = "xla" if jax.default_backend() != "tpu" else "pallas"
+
+    @jax.jit
+    def step(state, batch):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            with jax.default_matmul_precision(prec):
+                return compute_loss(params, cfg, batch, train=True,
+                                    rng=step_rng, implementation=impl)
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        grads = mask_grads(grads, state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state, rng), loss
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "audio": jnp.asarray(rs.randn(batch_size, N_SAMPLES) * 2000,
+                             jnp.float32),
+        "audio_lengths": jnp.full((batch_size,), N_SAMPLES, jnp.int32),
+        "targets": jnp.asarray(
+            rs.randint(4, VOCAB, (batch_size, DECODE_STEPS)), jnp.int32),
+        "target_lengths": jnp.full((batch_size,), DECODE_STEPS, jnp.int32),
+    }
+
+    t0 = time.time()
+    state, loss = step(state, batch)
+    float(loss)
+    log(f"train[{precision}]: compile+warmup {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    for _ in range(iters):
+        state, loss = step(state, batch)
+    float(loss)  # host fetch = reliable sync through the tunnel
+    ms = (time.time() - t0) / iters * 1000
+    log(f"train[{precision}]: {ms:.2f} ms/step @B={batch_size}")
+    return ms
+
+
+def train_mfu(step_ms: float, batch_size: int = 32) -> float:
+    """Fraction of the v5e bf16 peak achieved by the measured train step
+    (algorithmic fwd+bwd FLOPs; see train_flops_per_utt)."""
+    return (batch_size * train_flops_per_utt()
+            / (step_ms / 1000.0) / V5E_PEAK_FLOPS)
+
+
 def bench_accuracy():
     """Correctness-bearing bench row (round-3 verdict weak #5): decode the
     committed fixed speechlike eval set with the committed trained
     checkpoint and score PER, so a silent numerics regression changes the
     driver-captured JSON rather than only docs. Returns a dict of fields
     or None when the assets are absent."""
-    if TINY:
+    adir = os.environ.get("PLU_BENCH_ASSETS_DIR")
+    if TINY and not adir:
         log("accuracy row: skipped in PLU_BENCH_TINY mode (full-size "
             "checkpoint decode is not a smoke-scale computation)")
         return None
-    import phones_las_tpu
+    if not adir:
+        import phones_las_tpu
 
-    adir = os.path.join(os.path.dirname(phones_las_tpu.__file__),
-                        "assets", "bench")
+        adir = os.path.join(os.path.dirname(phones_las_tpu.__file__),
+                            "assets", "bench")
     ckpt = os.path.join(adir, "ckpt.npz")
     evalset = os.path.join(adir, "eval_set.npz")
     if not (os.path.exists(ckpt) and os.path.exists(evalset)):
@@ -237,6 +322,7 @@ def bench_accuracy():
     from phones_las_tpu.train.metrics import edit_distance_stats
     from phones_las_tpu.utils.param_io import load_params_npz
 
+    impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     params, cfg = load_params_npz(ckpt)
     data = np.load(evalset, allow_pickle=False)
     audio = data["audio"].astype(np.float32)  # [B, S] int16-scaled PCM
@@ -247,7 +333,7 @@ def bench_accuracy():
     @jax.jit
     def run(params, audio, lengths):
         memory, _, enc_mask = encode(
-            params, cfg, audio, lengths, implementation="pallas"
+            params, cfg, audio, lengths, implementation=impl
         )
         g_tokens, g_lens, _ = greedy_decode(
             params.speller, cfg.speller, memory, enc_mask, max_steps=cap
@@ -470,13 +556,19 @@ def _row_fns():
         "beam8_luong_production": lambda: {
             "value_beam8_luong_production": round(
                 bench_tpu_beam(precision="production", attention="luong"), 2)},
+        "train_parity": lambda: {
+            "value_train_step_ms_parity": round(
+                bench_train(precision="parity"), 2)},
+        "train_production": lambda: {
+            "value_train_step_ms_production": round(
+                bench_train(precision="production"), 2)},
         "accuracy": lambda: bench_accuracy() or {},
     }
 
 
 ROW_ORDER = ["parity", "production", "beam8_parity", "beam8_production",
              "beam8_ctcjoint_production", "beam8_luong_production",
-             "accuracy"]
+             "train_parity", "train_production", "accuracy"]
 
 
 def tpu_worker(skip):
@@ -627,6 +719,10 @@ def main():
         out["mfu_parity"] = round(mfu(parity), 4)
     if beam8_prod:
         out["mfu_beam8_production"] = round(mfu(beam8_prod, beam_width=8), 4)
+    for suffix in ("production", "parity"):
+        t_ms = flat.get(f"value_train_step_ms_{suffix}")
+        if t_ms and not TINY:  # tiny smoke shapes don't match the model
+            out[f"mfu_train_{suffix}"] = round(train_mfu(t_ms), 4)
     if errors:
         out["errors"] = errors[:8]
     print(json.dumps(out), flush=True)
