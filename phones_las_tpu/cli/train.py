@@ -57,6 +57,13 @@ def main(argv=None):
     p.add_argument("--sa-time-masks", type=int, default=2)
     p.add_argument("--sa-time-width", type=int, default=50)
     p.add_argument("--sa-time-ratio", type=float, default=0.2)
+    p.add_argument("--buckets", type=int, nargs="+", default=None,
+                   help="length-bucket boundaries in samples (static-shape "
+                        "padded batching; overrides the preset, e.g. "
+                        "--buckets 160000 240000 320000 for 10-20 s speech)")
+    p.add_argument("--max-target-len", type=int, default=None,
+                   help="training target-length cap in tokens (overrides "
+                        "the preset; longer-target utterances are dropped)")
     p.add_argument("--multitask-weight", type=float, default=None)
     p.add_argument("--label-smoothing", type=float, default=None,
                    help="uniform label smoothing on the attention CE (train only)")
@@ -145,6 +152,8 @@ def main(argv=None):
         "attention_units": args.attention_units,
         "dropout": args.dropout,
         "sampling_probability": args.sampling_probability,
+        "buckets": tuple(args.buckets) if args.buckets else None,
+        "max_target_len": args.max_target_len,
         "multitask_weight": args.multitask_weight,
         "ctc_weight": args.ctc_weight,
         "label_smoothing": args.label_smoothing,
