@@ -381,20 +381,35 @@ def _make_lstm_bwd_kernel(tc: int, reverse: bool, forget_bias: float,
     — one extra MXU matmul instead of 4U of saved activations — and
     accumulates dWh in VMEM across the whole grid.
 
+    Only the dh chain is genuinely sequential, so the two dots whose
+    operands don't depend on it are hoisted out of the step loop into
+    block-level matmuls (round 4, the roadmap's "deeper MFU on the VJP
+    recompute kernels" item):
+
+      * the gate recompute `xp + h_prev @ Wh` runs once per block as a
+        [tc·B, U] × [U, 4U] MXU pass into a VMEM scratch (row-identical
+        to the per-step dots — matmul rows are independent);
+      * dWh accumulates once per block as a [U, tc·B] × [tc·B, 4U]
+        contraction over the dgates the loop already wrote to `dxp_ref`
+        (masked steps contribute zeros by construction, so summing the
+        whole block is exact; only the f32 summation order changes).
+
     Per valid step (mask m=1; masked steps pass gradients through):
       dh'_t   = m·(dout_t + dh)
       dc'_t   = m·dc + dh'_t·σ(o)·(1−tanh²c')
       dgates  = [di, df, dg, do]   (zero at masked steps by construction)
       dxp_t   = dgates
-      dh_prev = (1−m)·dh + dgates @ Whᵀ
+      dh_prev = (1−m)·dh + dgates @ Whᵀ      ← the one dot still serial
       dc_prev = (1−m)·dc + dc'_t·σ(f+fb)
-      dWh    += h_prevᵀ @ dgates
     """
 
     def kernel(xp_ref, hprev_ref, cprev_ref, dout_ref, mask_ref, wh_ref,
-               dhfin_ref, dcfin_ref, dxp_ref, dwh_ref, dh_scr, dc_scr, dwh_scr):
+               dhfin_ref, dcfin_ref, dxp_ref, dwh_ref, dh_scr, dc_scr,
+               dwh_scr, gates_scr):
         i = pl.program_id(0)
         n = pl.num_programs(0)
+        b = dh_scr.shape[0]
+        u = dh_scr.shape[1]
 
         @pl.when(i == 0)
         def _():
@@ -402,16 +417,26 @@ def _make_lstm_bwd_kernel(tc: int, reverse: bool, forget_bias: float,
             dc_scr[:] = dcfin_ref[:]
             dwh_scr[:] = jnp.zeros_like(dwh_scr)
 
+        # hoisted gate recompute for the whole block, with the SAME dot
+        # mode as the forward pass so the VJP differentiates the function
+        # that actually ran
+        hp_all = hprev_ref[:].reshape(tc * b, u)
+        gates_scr[:] = (
+            xp_ref[:].astype(jnp.float32).reshape(tc * b, 4 * u)
+            + _rec_dot(hp_all, wh_ref, prec)
+        ).reshape(tc, b, 4 * u)
+
+        if prec == "bf16":  # f32 accumulation either way
+            kw = dict(preferred_element_type=jnp.float32)
+        else:
+            kw = dict(preferred_element_type=jnp.float32, precision=_HI)
+
         # opposite order vs forward
         steps = range(tc) if reverse else range(tc - 1, -1, -1)
         for tt in steps:
             m = mask_ref[tt][:, None]
-            hprev = hprev_ref[tt]  # bf16 in bf16 mode (dot casts anyway)
             cprev = cprev_ref[tt].astype(jnp.float32)
-            # recompute gates with the SAME dot mode as the forward pass so
-            # the VJP differentiates the function that actually ran
-            gates = xp_ref[tt].astype(jnp.float32) + _rec_dot(hprev, wh_ref, prec)
-            gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
+            gi, gf, gg, go = jnp.split(gates_scr[tt], 4, axis=-1)
             si = jax.nn.sigmoid(gi)
             sf = jax.nn.sigmoid(gf + forget_bias)
             sg = jnp.tanh(gg)
@@ -427,22 +452,25 @@ def _make_lstm_bwd_kernel(tc: int, reverse: bool, forget_bias: float,
             dg = dc_new * si * (1.0 - sg * sg)
             dgates = jnp.concatenate([di, df, dg, do], axis=-1)
             dxp_ref[tt] = dgates.astype(dxp_ref.dtype)
-            if prec == "bf16":  # f32 accumulation either way
-                dgates_d = dgates.astype(jnp.bfloat16)
-                hprev_d = hprev.astype(jnp.bfloat16)
-                kw = dict(preferred_element_type=jnp.float32)
-            else:
-                dgates_d, hprev_d = dgates, hprev
-                kw = dict(preferred_element_type=jnp.float32, precision=_HI)
-            dwh_scr[:] += jax.lax.dot_general(
-                hprev_d, dgates_d, dimension_numbers=(((0,), (0,)), ((), ())),
-                **kw,
-            )
+            dgates_d = dgates.astype(jnp.bfloat16) if prec == "bf16" else dgates
             dh_scr[:] = (1.0 - m) * dh_scr[:] + jax.lax.dot_general(
                 dgates_d, wh_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
                 **kw,
             )
             dc_scr[:] = (1.0 - m) * dc_scr[:] + dc_new * sf
+
+        # hoisted dWh for the whole block, reading back the dgates the
+        # loop wrote (bf16 when dxp streams bf16 — the loop cast them for
+        # its per-step dots anyway)
+        dg_all = dxp_ref[:].reshape(tc * b, 4 * u)
+        if prec == "bf16":
+            hp_d = hp_all.astype(jnp.bfloat16)
+            dg_all = dg_all.astype(jnp.bfloat16)
+        else:
+            hp_d = hp_all
+        dwh_scr[:] += jax.lax.dot_general(
+            hp_d, dg_all, dimension_numbers=(((0,), (0,)), ((), ())), **kw
+        )
 
         @pl.when(i == n - 1)
         def _():
@@ -514,7 +542,9 @@ def _recurrence_pallas_bwd(
     needed here); they may be bf16 in bf16 mode."""
     t, b, four_u = xp_tm.shape
     u = four_u // 4
-    tc = _block_budget(b, u, four_u, t, streams=7)
+    # streams=9: the 7 streamed u-sized arrays plus the single-buffered
+    # [tc, B, 4U] f32 gates scratch (= 2 double-buffered u-stream units)
+    tc = _block_budget(b, u, four_u, t, streams=9)
     n_blocks = pl.cdiv(t, tc)
     t_pad = n_blocks * tc
     if t_pad != t:
@@ -557,6 +587,7 @@ def _recurrence_pallas_bwd(
             pltpu.VMEM((b, u), jnp.float32),
             pltpu.VMEM((b, u), jnp.float32),
             pltpu.VMEM((u, four_u), jnp.float32),
+            pltpu.VMEM((tc, b, four_u), jnp.float32),
         ],
         interpret=interpret,
     )(xp_tm, hprev, cprev, dout, mask_tm, _rec_wh(wh, prec), dhfin, dcfin)
