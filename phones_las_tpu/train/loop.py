@@ -416,13 +416,20 @@ class Trainer:
         step_fn = self._beam_eval_fn()
         eval_params = self._eval_params()
         dist = tokens = 0
+        cap_hits = eval_utts = 0
         losses = []
         for batch in batches:
+            steps_cap = max_steps or self.decode_cap(batch)
             toks, lens, loss = step_fn(
                 eval_params, self._eval_device_batch(batch), beam_width,
-                max_steps or self.decode_cap(batch),
+                steps_cap,
             )
             losses.append(float(loss))
+            lens_np = np.asarray(lens)
+            n_real = batch.get("num_real")
+            n_real = lens_np.shape[0] if n_real is None else int(n_real)
+            cap_hits += int((lens_np[:n_real] >= steps_cap).sum())
+            eval_utts += n_real
             d, t = M.edit_distance_stats(
                 np.asarray(toks), np.asarray(lens),
                 np.asarray(batch["targets"]),
@@ -431,14 +438,20 @@ class Trainer:
             )
             dist += d
             tokens += t
-        dist, tokens, loss_sum, loss_n = self._allreduce_metrics(
-            [dist, tokens, float(np.sum(losses)) if losses else 0.0, len(losses)]
+        dist, tokens, cap_hits, eval_utts, loss_sum, loss_n = (
+            self._allreduce_metrics([
+                dist, tokens, cap_hits, eval_utts,
+                float(np.sum(losses)) if losses else 0.0, len(losses),
+            ])
         )
-        return {
+        res = {
             "loss": float(loss_sum / loss_n) if loss_n else float("nan"),
             "per": M.per_from_stats(int(dist), int(tokens)),
             "ref_tokens": int(tokens),
         }
+        if eval_utts:
+            res["cap_hit_rate"] = float(cap_hits) / float(eval_utts)
+        return res
 
     def _evaluate_greedy(
         self,
@@ -450,6 +463,7 @@ class Trainer:
         dist = tokens = 0
         g_dist = g_tokens = 0
         w_dist = w_words = 0
+        cap_hits = eval_utts = 0
         losses = []
         first_image = None
         eval_params = self._eval_params()
@@ -459,6 +473,14 @@ class Trainer:
                 eval_params, self._eval_device_batch(batch), steps_cap
             )
             losses.append(float(out["loss"]))
+            # derailment signal: a decode that never emitted <eos> ran to
+            # the step cap — on long utterances LAS fails by inserting in
+            # a loop, and PER alone hides how many utterances did so
+            lens = np.asarray(out["lengths"])
+            n_real = batch.get("num_real")
+            n_real = lens.shape[0] if n_real is None else int(n_real)
+            cap_hits += int((lens[:n_real] >= steps_cap).sum())
+            eval_utts += n_real
             if first_image is None and batch.get("num_real", 1) > 0:
                 # the reference's diagonal-alignment diagnostic image
                 first_image = M.attention_image(
@@ -502,9 +524,11 @@ class Trainer:
                 step if step is not None else int(self.state.step),
                 {"attention_alignment": first_image[None]},
             )
-        dist, tokens, g_dist, g_tokens, w_dist, w_words, loss_sum, loss_n = (
+        (dist, tokens, g_dist, g_tokens, w_dist, w_words, cap_hits,
+         eval_utts, loss_sum, loss_n) = (
             self._allreduce_metrics([
-                dist, tokens, g_dist, g_tokens, w_dist, w_words,
+                dist, tokens, g_dist, g_tokens, w_dist, w_words, cap_hits,
+                eval_utts,
                 float(np.sum(losses)) if losses else 0.0, len(losses),
             ])
         )
@@ -513,6 +537,8 @@ class Trainer:
             "per": M.per_from_stats(int(dist), int(tokens)),
             "ref_tokens": int(tokens),
         }
+        if eval_utts:
+            res["cap_hit_rate"] = float(cap_hits) / float(eval_utts)
         if g_tokens:
             res["cer"] = M.per_from_stats(int(g_dist), int(g_tokens))
             res["grapheme_ref_tokens"] = int(g_tokens)

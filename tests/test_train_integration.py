@@ -67,6 +67,12 @@ def test_train_loss_decreases_and_eval_runs(corpus, tmp_path):
     assert np.isfinite(ev["loss"])
     assert 0.0 <= ev["per"] <= 2.0
     assert ev["ref_tokens"] > 0
+    # derailment telemetry: fraction of decodes that ran to the step cap
+    # without <eos>; a 30-step model decoding with a tight 12-step cap
+    # must flag (nearly) every utterance, and the rate is a valid ratio
+    assert 0.0 <= ev["cap_hit_rate"] <= 1.0
+    ev_wide = trainer.evaluate(source.epoch(0), max_steps=64)
+    assert ev_wide["cap_hit_rate"] <= ev["cap_hit_rate"]
 
 
 def test_checkpoint_resume(corpus, tmp_path):
