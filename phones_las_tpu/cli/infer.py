@@ -22,6 +22,11 @@ def main(argv=None):
                    help="0 = force greedy; unset = the preset's width")
     p.add_argument("--length-penalty", type=float, default=0.0)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--monotonic-mode", default=None,
+                   choices=["parallel", "hard"],
+                   help="decode-time monotonic-attention mode override "
+                        "(models trained with a *_monotonic attention "
+                        "type; 'hard' = discrete test-time decisions)")
     p.add_argument("--output", default=None, help="write hypotheses TSV here")
     p.add_argument("--mesh", action="store_true",
                    help="shard batches over all devices (offline DP inference)")
@@ -81,6 +86,9 @@ def main(argv=None):
     overrides = dict(cfg_file.get("overrides") or {})
     if args.batch_size:
         overrides["batch_size"] = args.batch_size
+    if args.monotonic_mode:
+        # decode-time semantic only — no shape change vs the checkpoint
+        overrides["monotonic_mode"] = args.monotonic_mode
     preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(
         preset_name, data_dir, overrides or None
     )

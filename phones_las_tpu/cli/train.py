@@ -47,6 +47,11 @@ def main(argv=None):
                    choices=["bahdanau", "bahdanau_norm", "luong", "luong_scaled",
                             "bahdanau_monotonic", "luong_monotonic"])
     p.add_argument("--attention-units", type=int, default=None)
+    p.add_argument("--monotonic-mode", default=None, choices=["parallel", "hard"],
+                   help="monotonic-attention weight computation (TF "
+                        "BahdanauMonotonicAttention mode): 'parallel' "
+                        "(soft, differentiable — training) or 'hard' "
+                        "(test-time discrete decisions)")
     p.add_argument("--dropout", type=float, default=None)
     p.add_argument("--sampling-probability", type=float, default=None)
     p.add_argument("--specaugment", action="store_true",
@@ -150,6 +155,7 @@ def main(argv=None):
         "embedding_dim": args.embedding_dim,
         "attention_type": args.attention_type,
         "attention_units": args.attention_units,
+        "monotonic_mode": args.monotonic_mode,
         "dropout": args.dropout,
         "sampling_probability": args.sampling_probability,
         "buckets": tuple(args.buckets) if args.buckets else None,

@@ -34,6 +34,27 @@ def test_cli_roundtrip(tmp_path, capsys):
     assert glob.glob(os.path.join(aligns_dir, "*.png"))
 
 
+def test_cli_monotonic_hard_decode(tmp_path, capsys):
+    """Train with *_monotonic attention, decode with the test-time hard
+    mode via --monotonic-mode hard (TF mode='hard' parity): the override
+    is decode-time only, so the checkpoint restores unchanged."""
+    data = str(tmp_path / "data")
+    wd = str(tmp_path / "run")
+    prepare_cli.main(["synthetic", "--out", data, "--n-utts", "12",
+                      "--n-phones", "5"])
+    train_cli.main([
+        "--preset", "timit_phone_las", "--data", data, "--workdir", wd,
+        "--num-steps", "2", "--batch-size", "4",
+        "--attention-type", "bahdanau_monotonic",
+        "--encoder-units", "16", "--decoder-units", "16",
+        "--embedding-dim", "8", "--attention-units", "16",
+    ])
+    infer_cli.main(["--workdir", wd, "--data", os.path.join(data, "test.plu"),
+                    "--batch-size", "4", "--monotonic-mode", "hard"])
+    out = capsys.readouterr().out
+    assert "PER=" in out
+
+
 def test_transcribe_cli(tmp_path, capsys):
     import numpy as np
 
