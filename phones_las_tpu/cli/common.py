@@ -88,7 +88,8 @@ def resolve_preset(
                      "attention_units": "attention_units",
                      "attention_layer_size": "attention_layer_size",
                      "sampling_probability": "sampling_probability",
-                     "monotonic_mode": "monotonic_mode"}
+                     "monotonic_mode": "monotonic_mode",
+                     "monotonic_noise": "monotonic_noise"}
     for k, v in (overrides or {}).items():
         if v is None:
             continue

@@ -52,6 +52,11 @@ def main(argv=None):
                         "BahdanauMonotonicAttention mode): 'parallel' "
                         "(soft, differentiable — training) or 'hard' "
                         "(test-time discrete decisions)")
+    p.add_argument("--monotonic-noise", type=float, default=None,
+                   help="pre-sigmoid noise stddev on monotonic attention "
+                        "energies during training (default 1.0; raise to "
+                        "saturate the sigmoids if the checkpoint will be "
+                        "decoded with --monotonic-mode hard)")
     p.add_argument("--dropout", type=float, default=None)
     p.add_argument("--sampling-probability", type=float, default=None)
     p.add_argument("--specaugment", action="store_true",
@@ -156,6 +161,7 @@ def main(argv=None):
         "attention_type": args.attention_type,
         "attention_units": args.attention_units,
         "monotonic_mode": args.monotonic_mode,
+        "monotonic_noise": args.monotonic_noise,
         "dropout": args.dropout,
         "sampling_probability": args.sampling_probability,
         "buckets": tuple(args.buckets) if args.buckets else None,
