@@ -71,6 +71,21 @@ def test_model_hyperparameter_overrides(data_dir):
         resolve_preset("timit_phone_las", data_dir, {"bogus_key": 1})
 
 
+def test_monotonic_overrides_route_to_speller(data_dir):
+    preset, *_ = resolve_preset(
+        "timit_phone_las", data_dir,
+        {
+            "attention_type": "bahdanau_monotonic",
+            "monotonic_mode": "hard",
+            "monotonic_noise": 3.0,
+        },
+    )
+    sp = preset.model.speller
+    assert sp.attention_type == "bahdanau_monotonic"
+    assert sp.monotonic_mode == "hard"
+    assert sp.monotonic_noise == 3.0
+
+
 def test_timit_fold_ids(data_dir):
     vocab = Vocab(["a", "ʃ", "i", "sil"])
     fold = timit_score_fold(vocab, output_ipa=True)
