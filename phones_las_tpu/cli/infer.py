@@ -26,7 +26,9 @@ def main(argv=None):
                    choices=["parallel", "hard"],
                    help="decode-time monotonic-attention mode override "
                         "(models trained with a *_monotonic attention "
-                        "type; 'hard' = discrete test-time decisions)")
+                        "type). 'hard' (discrete test-time decisions) is "
+                        "EXPERIMENTAL — every measured operating point is "
+                        "unusable (35-78%% PER, docs/ACCURACY.md)")
     p.add_argument("--output", default=None, help="write hypotheses TSV here")
     p.add_argument("--mesh", action="store_true",
                    help="shard batches over all devices (offline DP inference)")
@@ -92,6 +94,16 @@ def main(argv=None):
     preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(
         preset_name, data_dir, overrides or None
     )
+    if args.monotonic_mode and not preset.model.speller.attention_type.endswith(
+        "_monotonic"
+    ):
+        # only *_monotonic attention honors the mode — failing silently
+        # would make an A/B decode comparison meaningless
+        p.error(
+            f"--monotonic-mode given but the checkpoint's attention type is "
+            f"'{preset.model.speller.attention_type}' (not *_monotonic); "
+            f"the flag would have no effect"
+        )
     if cfg_file.get("precision"):
         preset = dataclasses.replace(
             preset, model=dataclasses.replace(

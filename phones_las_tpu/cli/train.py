@@ -48,15 +48,18 @@ def main(argv=None):
                             "bahdanau_monotonic", "luong_monotonic"])
     p.add_argument("--attention-units", type=int, default=None)
     p.add_argument("--monotonic-mode", default=None, choices=["parallel", "hard"],
-                   help="monotonic-attention weight computation (TF "
-                        "BahdanauMonotonicAttention mode): 'parallel' "
-                        "(soft, differentiable — training) or 'hard' "
-                        "(test-time discrete decisions)")
+                   help="decode-time monotonic-attention mode recorded in "
+                        "the run config (the default for later infer/eval); "
+                        "training itself always uses the soft 'parallel' "
+                        "recursion. 'hard' (discrete test-time decisions) "
+                        "is EXPERIMENTAL: no measured operating point is "
+                        "usable (35-78%% PER; docs/ACCURACY.md)")
     p.add_argument("--monotonic-noise", type=float, default=None,
                    help="pre-sigmoid noise stddev on monotonic attention "
-                        "energies during training (default 1.0; raise to "
-                        "saturate the sigmoids if the checkpoint will be "
-                        "decoded with --monotonic-mode hard)")
+                        "energies during training (default 1.0). Raising it "
+                        "to calibrate --monotonic-mode hard was measured as "
+                        "a failure (noise 3.0: hard 35%%, soft degrades "
+                        "1.6->10%% — docs/ACCURACY.md)")
     p.add_argument("--dropout", type=float, default=None)
     p.add_argument("--sampling-probability", type=float, default=None)
     p.add_argument("--specaugment", action="store_true",
