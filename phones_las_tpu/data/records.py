@@ -41,6 +41,10 @@ class Utterance:
     targets: np.ndarray  # int32 phone ids (no sos/eos; eos added in batching)
     grapheme_targets: Optional[np.ndarray] = None
     text: str = ""
+    # optional per-target (start_sample, end_sample) ground-truth spans —
+    # filled by the speechlike synthesizer (which knows them exactly) for
+    # alignment/stitching diagnostics; NOT serialized to .plu records
+    token_times: Optional[np.ndarray] = None
 
     @property
     def num_samples(self) -> int:

@@ -441,6 +441,16 @@ def synth_speech_utterance(
 
     # PAUSE markers shape the audio only — they are never labels
     label_seq = [p for p in seq if p != PAUSE]
+    # ground-truth (start, end) sample span per label token (spans is 1:1
+    # with seq; stops sound at start+closure) — for stitching diagnostics
+    token_times = np.asarray(
+        [
+            (start + seg.closure, start + seg.closure + seg.n)
+            for (start, seg) in spans
+            if seg.phone != PAUSE
+        ],
+        np.int64,
+    )
     targets = np.asarray(vocab.encode(label_seq), np.int32)
     graphemes = None
     if grapheme_vocab is not None:
@@ -451,7 +461,7 @@ def synth_speech_utterance(
             chars += list(PHONE_SPECS[p].translit)
         graphemes = np.asarray(grapheme_vocab.encode(chars), np.int32)
     return Utterance(utt_id, audio.astype(np.int16), targets, graphemes,
-                     " ".join(label_seq))
+                     " ".join(label_seq), token_times=token_times)
 
 
 def write_speechlike_corpus(
