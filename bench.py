@@ -566,9 +566,14 @@ def _row_fns():
     }
 
 
-ROW_ORDER = ["parity", "production", "beam8_parity", "beam8_production",
-             "beam8_ctcjoint_production", "beam8_luong_production",
-             "train_parity", "train_production", "accuracy"]
+# production rows first: they warm up in ~6 s while the parity rows can
+# pay a multi-minute cold compile (f32 kernels; 18 min observed in the
+# round-4 driver run) — if a driver-side wall clock cuts the run short,
+# the headline production metrics are already captured. The final JSON
+# line still reports every captured row regardless of order.
+ROW_ORDER = ["production", "beam8_production", "beam8_ctcjoint_production",
+             "beam8_luong_production", "train_production", "accuracy",
+             "parity", "beam8_parity", "train_parity"]
 
 
 def tpu_worker(skip):
@@ -697,13 +702,18 @@ def main():
     prod = flat.get("value_production")
     beam8_prod = flat.get("value_beam8_production")
 
+    # headline = parity mode; if the parity rows were lost (they run
+    # last and pay the longest cold compiles), fall back to production
+    # so the driver always gets a number, with the unit saying which
+    head, head_mode = (parity, "fp32-parity") if parity else (
+        prod, "bf16-production")
     out = {
         "metric": "offline_inference_throughput",
-        "value": parity,
+        "value": head,
         "unit": f"utterances/sec/chip ({SECONDS:.0f}s utts, "
-                "LibriSpeech-class char LAS, fp32-parity mode)",
-        "vs_baseline": (round(parity / cpu_rate, 2)
-                        if parity and cpu_rate else None),
+                f"LibriSpeech-class char LAS, {head_mode} mode)",
+        "vs_baseline": (round(head / cpu_rate, 2)
+                        if head and cpu_rate else None),
     }
     out.update(flat)
     if cpu_rate:

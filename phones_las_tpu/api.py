@@ -22,6 +22,129 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 
+def _smoothed_energy(audio: np.ndarray, frame: int, smooth: int) -> np.ndarray:
+    """Per-frame RMS energy, mean-smoothed over ``smooth`` frames.
+
+    The smoothing is edge-adaptive (mean over the neighbors that exist),
+    so interior frames get identical values whether the array is a whole
+    recording or a streaming buffer slice — the property the offline and
+    streaming segmenters rely on to pick identical cuts.
+    """
+    nf = audio.shape[0] // frame
+    x = audio[: nf * frame].astype(np.float64).reshape(nf, frame)
+    e = np.sqrt((x * x).mean(axis=1))
+    if smooth > 1 and nf > 0:
+        c = np.concatenate([[0.0], np.cumsum(e)])
+        half = smooth // 2
+        lo = np.maximum(np.arange(nf) - half, 0)
+        hi = np.minimum(np.arange(nf) + half + 1, nf)
+        e = (c[hi] - c[lo]) / (hi - lo)
+    return e
+
+
+class PauseSegmenter:
+    """Cut-point rule for pause-snapped long-form segmentation.
+
+    Nominal cuts sit every ``window_samples``; each is snapped to the
+    center of the *longest low-energy run* of the smoothed short-time
+    energy within ±``search_samples`` of its nominal position — i.e.
+    into the widest pause, not merely the quietest instant. Segments
+    then start and end in silence, like the utterances the model was
+    trained on; the long-form stitching cliff (docs/ACCURACY.md) was
+    caused by fixed-stride windows starting mid-word, which derails whole
+    window decodes (measured 17.9% within-window PER vs 1.6% batch on the
+    same checkpoint, tools/longform_debug.py). Run *length* is the
+    criterion (rather than the energy argmin) because near-silent
+    stretches inside words — plosive closures run 30–55 ms — can tie
+    the noise floor of a real inter-word pause (60–180 ms+); an argmin
+    picker cuts mid-word inside a stop closure whenever noise
+    fluctuation favors it. The energy threshold separating "quiet" from
+    "speech" is computed from the search region alone (min + 25% of the
+    min→median spread), never from whole-buffer statistics, so the
+    offline and streaming passes agree by construction.
+
+    Framing is absolute (frame k covers samples ``[k·f, (k+1)·f)`` of the
+    *recording*, not of the buffer), so a streaming session that only
+    ever sees a suffix of the audio picks the same cuts as the offline
+    pass, provided it holds back ``margin`` samples of lookahead past the
+    search region (the smoothing neighborhood).
+    """
+
+    def __init__(self, sample_rate: int, window_samples: int,
+                 search_samples: int, *, frame_seconds: float = 0.010,
+                 smooth_frames: int = 5):
+        if not 0 < search_samples < window_samples // 2:
+            raise ValueError(
+                f"need 0 < search ({search_samples}) < window/2 "
+                f"({window_samples // 2})"
+            )
+        self.f = max(1, int(frame_seconds * sample_rate))
+        self.win = int(window_samples)
+        self.search = int(search_samples)
+        self.smooth = int(smooth_frames)
+        # lookahead a streaming caller must have past target+search
+        # before the cut is final (right smoothing neighborhood)
+        self.margin = (self.smooth // 2 + 1) * self.f
+        # longest segment two snapped cuts can produce (prev snapped
+        # -search, next snapped +search) — the decode pad length
+        self.max_segment = self.win + 2 * self.search
+
+    def next_cut(self, audio: np.ndarray, base: int, prev_cut: int,
+                 total: int, ended: bool) -> Optional[int]:
+        """Next absolute cut after ``prev_cut``, or None.
+
+        ``audio`` is the buffer covering absolute samples
+        ``[base, base + len(audio))`` with ``base % f == 0`` and
+        ``base <= prev_cut``; ``total`` is the stream length so far.
+        None means: need more audio (``ended=False``), or the remainder
+        is the final tail segment (``ended=True``).
+        """
+        assert base % self.f == 0 and base <= prev_cut, (base, prev_cut)
+        target = prev_cut + self.win
+        if ended:
+            if total <= target + self.search:
+                return None
+        elif total < target + self.search + self.margin:
+            return None
+        e = _smoothed_energy(audio, self.f, self.smooth)
+        b0 = base // self.f
+        # frames fully inside [target-search, target+search] ∩ (prev_cut, total]
+        lo = max(-(-(target - self.search) // self.f), prev_cut // self.f + 1)
+        hi = min((target + self.search) // self.f, b0 + e.shape[0])
+        if hi <= lo:  # degenerate (tiny window/search): cut at nominal
+            return min(target, total)
+        region = e[lo - b0 : hi - b0]
+        thr = region.min() + 0.25 * (np.median(region) - region.min())
+        quiet = np.flatnonzero(region <= thr)
+        if quiet.size == 0:  # flat region: median == min
+            k = lo + int(np.argmin(region))
+        else:
+            # maximal runs of consecutive quiet frames; widest run wins,
+            # ties broken by lower mean energy
+            starts = np.flatnonzero(np.diff(quiet, prepend=quiet[0] - 2) > 1)
+            runs = np.split(quiet, starts[1:]) if starts.size else [quiet]
+            best = min(runs, key=lambda r: (-r.size, region[r].mean()))
+            k = lo + int(best[best.size // 2])
+        return k * self.f + self.f // 2
+
+
+def find_pause_cuts(audio: np.ndarray, sample_rate: int,
+                    window_samples: int, search_samples: int) -> List[int]:
+    """Pause-snapped segment boundaries for a whole recording:
+    ``[0, cut_1, ..., len(audio)]`` (see ``PauseSegmenter``)."""
+    audio = np.asarray(audio)
+    n = int(audio.shape[0])
+    seg = PauseSegmenter(sample_rate, window_samples, search_samples)
+    cuts = [0]
+    while True:
+        c = seg.next_cut(audio, 0, cuts[-1], n, ended=True)
+        if c is None:
+            break
+        cuts.append(int(c))
+    cuts.append(n)
+    return cuts
+
+
 def merge_window_hypotheses(
     per_window: Sequence, starts: Sequence[int], overlap: int
 ) -> List[int]:
@@ -167,6 +290,12 @@ class Transcriber:
             self.max_steps = preset.pipeline.max_target_len
         self._jit_cache: Dict[int, object] = {}
         self._sample_rate = preset.model.frontend.sample_rate
+        # longest audio the model ever saw in one training example — the
+        # long-form segmenter sizes its windows to this (segments longer
+        # than every training utterance decode with extrapolated target
+        # lengths, the measured runaway trigger; docs/ACCURACY.md
+        # "long-form stitching")
+        self.train_max_samples = int(max(preset.pipeline.buckets))
 
     def replicate(self, n: int = 0) -> List["Transcriber"]:
         """``n`` independent single-device copies (one per local device,
@@ -367,6 +496,7 @@ class Transcriber:
         *,
         window_samples: int,
         max_tokens_per_second: float = 25.0,
+        steps_cap: Optional[int] = None,
     ) -> List:
         """Decode equal-capacity audio windows with per-token timestamps.
 
@@ -380,11 +510,9 @@ class Transcriber:
         sr = self._sample_rate
         fs = self.frame_samples()
         enc_frames = max(1, int(window_samples / fs))
-        steps_cap = max(
-            16,
-            min(enc_frames,
-                int(window_samples / sr * max_tokens_per_second)),
-        )
+        if steps_cap is None:
+            steps_cap = int(window_samples / sr * max_tokens_per_second)
+        steps_cap = max(16, min(enc_frames, steps_cap))
         # quantize the dispatch batch to a power of two (≤ the wave cap,
         # kept a data-axis multiple) so a session decoding 1, 3, then 5
         # windows compiles log2(cap) programs at most, not one per
@@ -420,41 +548,100 @@ class Transcriber:
                 out.append((toks[i][:k], (peaks[i][:k] + 0.5) * fs))
         return out
 
+    def _long_form_cap(self, pad_samples: int,
+                       max_tokens_per_second: float) -> int:
+        """Per-segment decode step cap for pause-mode long-form: the
+        trained target cap, scaled by how much longer the segment pad is
+        than the longest training bucket (and never above the rate cap).
+        Decoder runaway is an insertion *loop* — a generous cap converts
+        one unstable segment into hundreds of insertions (measured
+        err 233 at cap 300 vs err 17 at cap 84 on the same segment);
+        the trained cap bounds the damage to ~one segment's tokens."""
+        scaled = self.max_steps * pad_samples / self.train_max_samples
+        rate = pad_samples / self._sample_rate * max_tokens_per_second
+        return int(np.ceil(min(max(self.max_steps, scaled), rate)))
+
+    def long_form_geometry(self, overlap_seconds: float = 2.0):
+        """Default pause-mode long-form geometry ``(window_seconds,
+        search_seconds)``: sized so the longest possible segment (nominal
+        window + 2×search after pause snapping) equals the longest
+        *training* bucket. Segments then stay inside the audio/target
+        length distribution the model was trained on — longer segments
+        make the speller extrapolate past every target length it ever
+        produced, the measured decoder-runaway trigger (docs/ACCURACY.md
+        "long-form stitching"). The search half-width is the requested
+        overlap clamped to ⅛ of the bucket, so the geometry is always
+        valid (search < window/2) even for short-utterance models."""
+        sr = self._sample_rate
+        m = self.train_max_samples
+        search = min(int(overlap_seconds * sr), m // 8)
+        return (m - 2 * search) / sr, search / sr
+
     def transcribe_long(
         self,
         audio: np.ndarray,
         *,
-        window_seconds: float = 20.0,
+        window_seconds: Optional[float] = None,
         overlap_seconds: float = 2.0,
         max_tokens_per_second: float = 25.0,
+        segmentation: str = "pause",
     ) -> List[str]:
         """Transcribe audio of arbitrary length (lectures, meetings —
-        beyond the utterance lengths LAS was trained on) by sliding an
-        overlapping window and stitching the hypotheses.
+        beyond the utterance lengths LAS was trained on) by splitting it
+        into window-sized segments, decoding each, and joining.
 
-        The stitch uses token *timestamps* recovered from the attention
-        alignments (peak encoder frame → pyramid stride → front-end hop →
-        sample position): consecutive windows are cut at their overlap
-        midpoint, so every token comes from a window where it has full
-        acoustic context on both sides. Works with greedy and beam
-        decoding (beam peaks are backtraced along the winning beam path,
-        ``decode.beam.BeamResult.peaks``).
+        ``segmentation="pause"`` (default): segment boundaries sit every
+        ``window_seconds`` but are snapped to the minimum of the smoothed
+        short-time energy within ±``overlap_seconds`` — into the nearest
+        pause — so every segment starts and ends in low-energy audio like
+        a training utterance, and the transcript is the plain
+        concatenation of the segment decodes. This is the accuracy-
+        preserving mode: fixed-stride windows that start mid-word derail
+        whole window decodes (docs/ACCURACY.md "long-form stitching").
 
-        Windows are dispatched in ``max_device_batch`` waves like
-        ``transcribe_batch``, so a one-hour recording runs at batch
-        throughput on one chip. The per-window decode cap scales with the
-        window (``window_seconds × max_tokens_per_second``, clipped to
-        the encoder frame count) instead of the training preset's static
-        target cap — a 20 s window must be allowed more tokens than one
-        training utterance.
+        ``segmentation="overlap"``: the classic fixed-stride overlapping
+        windows, stitched with token *timestamps* recovered from the
+        attention alignments (peak encoder frame → pyramid stride →
+        front-end hop → sample position); consecutive windows are cut at
+        their overlap midpoint. Useful when the audio has no usable
+        pauses (dense cross-talk); measured an order of magnitude worse
+        on pause-bearing speech.
+
+        Both modes work with greedy and beam decoding (beam peaks are
+        backtraced along the winning beam path,
+        ``decode.beam.BeamResult.peaks``), and dispatch segments in
+        ``max_device_batch`` waves like ``transcribe_batch``, so a
+        one-hour recording runs at batch throughput on one chip. The
+        per-segment decode cap scales with the segment length
+        (``× max_tokens_per_second``, clipped to the encoder frame
+        count) instead of the training preset's static target cap.
         """
         audio = np.asarray(audio)
         sr = self._sample_rate
+        if window_seconds is None:
+            if segmentation == "pause":
+                window_seconds, overlap_seconds = self.long_form_geometry(
+                    overlap_seconds
+                )
+            else:
+                window_seconds = 20.0
         win = int(window_seconds * sr)
         ov = int(overlap_seconds * sr)
         assert 0 < ov < win, (ov, win)
         if audio.shape[0] <= win:
             return self.transcribe(audio)
+        if segmentation == "pause":
+            pad = win + 2 * ov
+            cuts = find_pause_cuts(audio, sr, win, ov)
+            decoded = self.decode_aligned(
+                [audio[a:b] for a, b in zip(cuts[:-1], cuts[1:])],
+                window_samples=pad,
+                max_tokens_per_second=max_tokens_per_second,
+                steps_cap=self._long_form_cap(pad, max_tokens_per_second),
+            )
+            ids = [int(t) for seg_ids, _ in decoded for t in seg_ids]
+            return self.vocab.decode(np.asarray(ids, np.int32))
+        assert segmentation == "overlap", segmentation
         hop = win - ov
         starts = list(range(0, audio.shape[0] - ov, hop))
         decoded = self.decode_aligned(

@@ -89,7 +89,8 @@ def resolve_preset(
                      "attention_layer_size": "attention_layer_size",
                      "sampling_probability": "sampling_probability",
                      "monotonic_mode": "monotonic_mode",
-                     "monotonic_noise": "monotonic_noise"}
+                     "monotonic_noise": "monotonic_noise",
+                     "monotonic_bias": "monotonic_bias"}
     for k, v in (overrides or {}).items():
         if v is None:
             continue

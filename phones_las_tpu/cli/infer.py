@@ -29,6 +29,11 @@ def main(argv=None):
                         "type). 'hard' (discrete test-time decisions) is "
                         "EXPERIMENTAL — every measured operating point is "
                         "unusable (35-78%% PER, docs/ACCURACY.md)")
+    p.add_argument("--monotonic-bias", type=float, default=None, metavar="B",
+                   help="decode-time pre-sigmoid energy bias for "
+                        "*_monotonic attention (hard-mode calibration: "
+                        "shifts the attend/skip threshold without "
+                        "retraining)")
     p.add_argument("--output", default=None, help="write hypotheses TSV here")
     p.add_argument("--mesh", action="store_true",
                    help="shard batches over all devices (offline DP inference)")
@@ -91,18 +96,20 @@ def main(argv=None):
     if args.monotonic_mode:
         # decode-time semantic only — no shape change vs the checkpoint
         overrides["monotonic_mode"] = args.monotonic_mode
+    if args.monotonic_bias is not None:
+        overrides["monotonic_bias"] = args.monotonic_bias
     preset, vocab, gvocab, cmvn, binf_codes = resolve_preset(
         preset_name, data_dir, overrides or None
     )
-    if args.monotonic_mode and not preset.model.speller.attention_type.endswith(
-        "_monotonic"
-    ):
-        # only *_monotonic attention honors the mode — failing silently
+    if (
+        args.monotonic_mode or args.monotonic_bias is not None
+    ) and not preset.model.speller.attention_type.endswith("_monotonic"):
+        # only *_monotonic attention honors these — failing silently
         # would make an A/B decode comparison meaningless
         p.error(
-            f"--monotonic-mode given but the checkpoint's attention type is "
-            f"'{preset.model.speller.attention_type}' (not *_monotonic); "
-            f"the flag would have no effect"
+            f"--monotonic-mode/--monotonic-bias given but the checkpoint's "
+            f"attention type is '{preset.model.speller.attention_type}' "
+            f"(not *_monotonic); the flag would have no effect"
         )
     if cfg_file.get("precision"):
         preset = dataclasses.replace(

@@ -238,20 +238,38 @@ class BatchingWorker:
 class StreamSession:
     """Incremental long-form transcription session.
 
-    Audio arrives in chunks; complete sliding windows are decoded as soon
-    as the *next* window is guaranteed to exist (so each window's
-    ownership range under the overlap-midpoint cut rule — see
-    ``api.merge_window_hypotheses`` — is already final), and the tokens
-    they own are returned immediately. ``end()`` decodes the partial tail
-    and flushes the rest. The final concatenated transcript is identical
-    to ``Transcriber.transcribe_long`` over the whole recording.
+    Audio arrives in chunks. With ``segmentation="pause"`` (default), a
+    segment is decoded as soon as its end cut is final — the cut snaps to
+    the energy minimum near the nominal window boundary
+    (``api.PauseSegmenter``), which needs only the smoothing lookahead —
+    and *all* its tokens are returned immediately (cuts sit in pauses, so
+    no token straddles one). With ``segmentation="overlap"``, complete
+    fixed-stride sliding windows are decoded as soon as the *next* window
+    is guaranteed to exist (so each window's ownership range under the
+    overlap-midpoint cut rule — see ``api.merge_window_hypotheses`` — is
+    already final), and the tokens they own are returned. ``end()``
+    decodes the partial tail and flushes the rest. Either way the final
+    concatenated transcript is identical to
+    ``Transcriber.transcribe_long`` (same mode) over the whole recording.
     """
 
-    def __init__(self, transcriber, window_seconds: float = 20.0,
+    def __init__(self, transcriber, window_seconds: Optional[float] = None,
                  overlap_seconds: float = 2.0,
-                 max_tokens_per_second: float = 25.0):
+                 max_tokens_per_second: float = 25.0,
+                 segmentation: str = "pause"):
         sr = transcriber.sample_rate
         self.t = transcriber
+        if window_seconds is None:
+            # match Transcriber.transcribe_long: pause mode sizes the
+            # window (and clamps the search width) to the trained bucket
+            # lengths (segments past every training length trigger
+            # decoder runaway)
+            if segmentation == "pause":
+                window_seconds, overlap_seconds = (
+                    transcriber.long_form_geometry(overlap_seconds)
+                )
+            else:
+                window_seconds = 20.0
         self.win = int(window_seconds * sr)
         self.ov = int(overlap_seconds * sr)
         # explicit raise, not assert: these gate client-supplied values
@@ -261,6 +279,17 @@ class StreamSession:
             raise ValueError(
                 f"need 0 < overlap ({self.ov}) < window ({self.win})"
             )
+        if segmentation not in ("pause", "overlap"):
+            raise ValueError(f"unknown segmentation {segmentation!r}")
+        self.segmentation = segmentation
+        self.seg = None
+        if segmentation == "pause":
+            from phones_las_tpu.api import PauseSegmenter
+
+            try:
+                self.seg = PauseSegmenter(sr, self.win, self.ov)
+            except ValueError as e:  # client-supplied overlap ≥ window/2
+                raise ValueError(str(e))
         self.hop = self.win - self.ov
         self.mtps = max_tokens_per_second
         self.rate = sr          # client sample rate (resampled on feed)
@@ -268,6 +297,7 @@ class StreamSession:
         self.base = 0           # absolute position of the buffer's first sample
         self.total = 0          # samples received
         self.next_start = 0     # absolute start of the next window to decode
+        self.prev_cut = 0       # pause mode: absolute end of the last segment
         self.n_windows = 0      # windows decoded so far
         self.n_tokens = 0       # tokens emitted so far
         self.ended = False
@@ -303,12 +333,57 @@ class StreamSession:
         self.n_tokens += len(out_ids)
         return self.t.vocab.decode(np.asarray(out_ids, np.int64))
 
+    def _decode_segments(self, bounds: List) -> List[str]:
+        """Pause mode: decode the segments at ``bounds`` (absolute
+        ``(start, end)`` pairs) and return all their tokens — cuts sit in
+        pauses, so every token is final at decode time."""
+        audio = self._audio()
+        pad = self.win + 2 * self.ov
+        decoded = self.t.decode_aligned(
+            [audio[a - self.base : b - self.base] for a, b in bounds],
+            window_samples=pad,
+            max_tokens_per_second=self.mtps,
+            steps_cap=self.t._long_form_cap(pad, self.mtps),
+        )
+        out_ids = [int(tok) for ids, _ in decoded for tok in ids]
+        self.n_windows += len(bounds)
+        self.n_tokens += len(out_ids)
+        return self.t.vocab.decode(np.asarray(out_ids, np.int64))
+
+    def _pause_cuts(self, ended: bool) -> List:
+        """Advance ``prev_cut`` through every now-final cut; return the
+        finalized segment bounds."""
+        bounds = []
+        audio = self._audio()
+        while True:
+            c = self.seg.next_cut(
+                audio, self.base, self.prev_cut, self.total, ended
+            )
+            if c is None:
+                break
+            bounds.append((self.prev_cut, int(c)))
+            self.prev_cut = int(c)
+        return bounds
+
     def feed(self, pcm: np.ndarray) -> List[str]:
         with self.lock:
             if self.ended:
                 raise ValueError("session already ended")
             self._chunks.append(np.asarray(pcm))
             self.total += len(pcm)
+            if self.seg is not None:
+                bounds = self._pause_cuts(ended=False)
+                out = self._decode_segments(bounds) if bounds else []
+                # samples before the last cut are never read again; keep
+                # the buffer start frame-aligned so the segmenter's
+                # absolute framing (and therefore its cuts) match the
+                # offline pass
+                keep = (self.prev_cut // self.seg.f) * self.seg.f
+                if keep > self.base:
+                    audio = self._audio()
+                    self._chunks = [audio[keep - self.base :]]
+                    self.base = keep
+                return out
             # a window is decodable once the stream extends strictly past
             # it: then the next window exists in the final enumeration
             # (total > s + win = s_next + overlap ⇒ s_next < total − overlap)
@@ -330,7 +405,6 @@ class StreamSession:
             if self.ended:
                 raise ValueError("session already ended")
             self.ended = True
-            starts = []
             if self.n_windows == 0 and self.total <= self.win:
                 # short stream: exactly what transcribe_long does for
                 # audio within one window — delegate to transcribe() so
@@ -345,11 +419,19 @@ class StreamSession:
                 self.n_windows += 1
                 self.n_tokens += len(out)
                 return out
-            else:
-                s = self.next_start
-                while s < self.total - self.ov:
-                    starts.append(s)
-                    s += self.hop
+            if self.seg is not None:
+                bounds = self._pause_cuts(ended=True)
+                if self.prev_cut < self.total:  # the tail segment
+                    bounds.append((self.prev_cut, self.total))
+                    self.prev_cut = self.total
+                out = self._decode_segments(bounds) if bounds else []
+                self._chunks = []
+                return out
+            starts = []
+            s = self.next_start
+            while s < self.total - self.ov:
+                starts.append(s)
+                s += self.hop
             out = self._decode(starts, last_is_final=True) if starts else []
             self._chunks = []
             return out
@@ -496,8 +578,10 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
             # construct before sending headers: bad params → clean 400
             sess = StreamSession(
                 transcriber,
-                window_seconds=float(qs.get("window_s", ["20"])[-1]),
+                window_seconds=(float(qs["window_s"][-1])
+                                if "window_s" in qs else None),
                 overlap_seconds=float(qs.get("overlap_s", ["2"])[-1]),
+                segmentation=qs.get("segmentation", ["pause"])[-1],
             )
             self._last_status = 200
             self.send_response(200)
@@ -565,10 +649,13 @@ def make_server(transcriber, host: str, port: int, *, max_batch: int = 16,
                     try:
                         sess = StreamSession(
                             transcriber,
-                            window_seconds=float(
-                                qs.get("window_s", ["20"])[-1]),
+                            window_seconds=(
+                                float(qs["window_s"][-1])
+                                if "window_s" in qs else None),
                             overlap_seconds=float(
                                 qs.get("overlap_s", ["2"])[-1]),
+                            segmentation=qs.get(
+                                "segmentation", ["pause"])[-1],
                         )
                         sess.rate = int(qs.get("rate", [sample_rate])[-1])
                         sess.last_used = time.monotonic()
@@ -867,7 +954,11 @@ def main(argv=None):
         # the full compile inside its request handler
         first = serve_t[0] if isinstance(serve_t, list) else serve_t
         win = 20 * first.sample_rate
-        first.decode_aligned([np.zeros(win, np.int16)], window_samples=win)
+        # pause-snapped segments pad to window + 2×search (the default
+        # long-form/stream path); warm that program
+        first.decode_aligned(
+            [np.zeros(win, np.int16)], window_samples=win + 4 * first.sample_rate
+        )
     server, _ = make_server(
         serve_t, args.host, args.port, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, head=args.head,

@@ -4,7 +4,8 @@ The reference's ``infer.py`` consumes preprocessed TFRecords only
 (SURVEY.md §4.3); this CLI goes straight from audio files (wav / flac /
 sphere / mp3 — the native decoders in ``csrc/``) to transcripts, with an
 optional long-form mode for recordings far beyond utterance length
-(sliding window + attention-timestamp stitch, ``api.transcribe_long``).
+(pause-snapped segmentation, or sliding window + attention-timestamp
+stitch — ``api.transcribe_long``).
 
     python -m phones_las_tpu.cli.transcribe --workdir runs/timit a.wav b.flac
     python -m phones_las_tpu.cli.transcribe --workdir runs/ls --long-form lecture.mp3
@@ -29,8 +30,19 @@ def main(argv=None):
     p.add_argument("--long-form", action="store_true",
                    help="sliding-window transcription for recordings longer "
                         "than an utterance")
-    p.add_argument("--window-seconds", type=float, default=20.0)
-    p.add_argument("--overlap-seconds", type=float, default=2.0)
+    p.add_argument("--window-seconds", type=float, default=None,
+                   help="long-form segment size; default: sized to the "
+                        "model's training bucket lengths (pause mode) "
+                        "or 20 s (overlap mode)")
+    p.add_argument("--overlap-seconds", type=float, default=2.0,
+                   help="overlap (segmentation=overlap) or the pause "
+                        "search half-width (segmentation=pause)")
+    p.add_argument("--segmentation", default="pause",
+                   choices=["pause", "overlap"],
+                   help="long-form window placement: snap boundaries to "
+                        "pauses (energy minima; accuracy-preserving) or "
+                        "fixed-stride overlapping windows with timestamp "
+                        "stitching")
     p.add_argument("--max-tokens-per-second", type=float, default=25.0,
                    help="long-form per-window decode cap = window × this")
     p.add_argument("--output", default=None, help="write TSV here instead of stdout")
@@ -69,6 +81,7 @@ def main(argv=None):
                 np.asarray(pcm), window_seconds=args.window_seconds,
                 overlap_seconds=args.overlap_seconds,
                 max_tokens_per_second=args.max_tokens_per_second,
+                segmentation=args.segmentation,
             ))
     else:
         results = t.transcribe_files(args.files)

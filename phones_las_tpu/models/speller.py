@@ -76,6 +76,9 @@ class SpellerConfig:
     # or 'hard' (deterministic attend-first decisions; training always
     # uses 'parallel')
     monotonic_mode: str = "parallel"
+    # decode-time pre-sigmoid energy bias for *_monotonic attention
+    # (hard-mode calibration; 0 = trained operating point)
+    monotonic_bias: float = 0.0
     attention_layer_size: int = 256  # 0 → raw [cell_out; context] as attn vector
     sampling_probability: float = 0.0
     bos_id: int = 1
@@ -227,6 +230,7 @@ def speller_step(
         prev_align=carry.alignment, sigmoid_noise=sigmoid_noise,
         noise_rng=noise_rng,
         monotonic_mode=monotonic_mode or cfg.monotonic_mode,
+        monotonic_bias=cfg.monotonic_bias,
     )
     ctx = attention_context(probs, memory)
     combined = jnp.concatenate([cell_out, ctx], axis=-1)

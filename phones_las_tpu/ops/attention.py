@@ -159,6 +159,7 @@ def attention_scores(
     sigmoid_noise: float = 0.0,
     noise_rng: Optional[jax.Array] = None,
     monotonic_mode: str = "parallel",  # 'parallel' | 'hard'
+    monotonic_bias: float = 0.0,  # decode-time energy bias (calibration)
 ) -> jnp.ndarray:
     """Attention probabilities [B, T]: masked softmax for the standard
     variants; for ``*_monotonic``, the parallel recursion (training/eval
@@ -174,7 +175,12 @@ def attention_scores(
         scores = jnp.where(mask > 0, scores, _NEG)
         return jax.nn.softmax(scores, axis=-1)
     assert prev_align is not None, "monotonic attention needs prev_align"
-    scores = scores + params.score_bias
+    # monotonic_bias shifts the pre-sigmoid selection energies at decode
+    # time only — an inference-side calibration knob for the hard mode's
+    # attend/skip threshold (a model trained with the soft recursion can
+    # sit systematically below the hard 0-threshold; see docs/ACCURACY.md
+    # hard-mode calibration)
+    scores = scores + params.score_bias + monotonic_bias
     if monotonic_mode == "hard":
         choose = (scores > 0).astype(scores.dtype) * mask
         return hard_monotonic_attention(choose, prev_align)

@@ -33,9 +33,13 @@ def main() -> None:
     p.add_argument("--words", type=int, nargs=2, default=(1, 3))
     p.add_argument("--seed", type=int, default=31)
     p.add_argument("--phonotactics-seed", type=int, default=1234)
-    p.add_argument("--window", type=float, default=8.0)
+    p.add_argument("--window", type=float, default=None,
+                   help="segment seconds (default: auto from the "
+                        "model's training buckets, pause mode)")
     p.add_argument("--overlap", type=float, default=2.0)
     p.add_argument("--snr-db", type=float, nargs=2, default=(8.0, 30.0))
+    p.add_argument("--segmentation", choices=("pause", "overlap"),
+                   default="pause")
     args = p.parse_args()
 
     vocab = Vocab(speechlike_phone_inventory())
@@ -55,7 +59,7 @@ def main() -> None:
         ref = vocab.decode(u.targets)
         hyp = t.transcribe_long(
             u.audio, window_seconds=args.window,
-            overlap_seconds=args.overlap,
+            overlap_seconds=args.overlap, segmentation=args.segmentation,
         )
         ids = {tok: j for j, tok in enumerate(vocab.tokens)}
         e = _edit_distance([ids[x] for x in hyp], [ids[x] for x in ref])
