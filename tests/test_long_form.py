@@ -87,6 +87,15 @@ def test_long_form_end_to_end(tmp_path):
     per_b = _per(hyp_b, ref)
     assert per_b <= 0.25, f"beam long-form PER {per_b:.3f}"
 
+    # legacy fixed-stride mode (segmentation="overlap", the timestamp
+    # stitch) must keep working for pause-free audio
+    hyp_o = t.transcribe_long(
+        utt.audio, window_seconds=1.5, overlap_seconds=0.6,
+        segmentation="overlap",
+    )
+    per_o = _per(hyp_o, ref)
+    assert per_o <= 0.25, f"overlap-mode long-form PER {per_o:.3f}"
+
     # short input falls through to the single-utterance path
     short = utt.audio[:8000]
     assert t.transcribe_long(short) == t.transcribe(short)

@@ -124,6 +124,19 @@ def test_stream_session_matches_transcribe_long(workdir):
         toks += sess.end()
         assert toks == offline, (chunk, toks, offline)
 
+    # legacy fixed-stride mode: same equality under segmentation="overlap"
+    offline_o = t.transcribe_long(
+        audio, window_seconds=0.8, overlap_seconds=0.3,
+        segmentation="overlap",
+    )
+    sess = StreamSession(t, window_seconds=0.8, overlap_seconds=0.3,
+                         segmentation="overlap")
+    toks = []
+    for ofs in range(0, len(audio), 16000):
+        toks += sess.feed(audio[ofs : ofs + 16000])
+    toks += sess.end()
+    assert toks == offline_o, (toks, offline_o)
+
     # short stream (≤ one window) delegates to transcribe() exactly like
     # transcribe_long does, so the transcript is identical either way
     sess = StreamSession(t, window_seconds=2.0, overlap_seconds=0.5)
