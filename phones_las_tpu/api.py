@@ -297,6 +297,65 @@ class Transcriber:
         # "long-form stitching")
         self.train_max_samples = int(max(preset.pipeline.buckets))
 
+    @classmethod
+    def from_artifact(
+        cls,
+        path: str,
+        *,
+        beam_width: int = 0,
+        length_penalty: float = 0.0,
+        implementation: str = "auto",
+        max_device_batch: int = 64,
+        ctc_joint: Optional[float] = None,
+    ) -> "Transcriber":
+        """Serve straight from a flat-npz artifact (``utils/param_io``,
+        written with ``extras`` carrying vocab/buckets/max_target_len) —
+        no workdir, no orbax, no data dir. This is how committed model
+        assets (e.g. the long-regime regression-gate checkpoint under
+        ``tests/goldens/``) are decoded, and the single-file deploy path
+        for small models. The reference ships checkpoint *directories*
+        and re-runs the Estimator to decode (SURVEY.md §6)."""
+        import jax
+
+        from phones_las_tpu.data.vocab import Vocab
+        from phones_las_tpu.utils.jax_cache import enable_compilation_cache
+        from phones_las_tpu.utils.param_io import load_artifact
+
+        enable_compilation_cache()
+        params, cfg, extras = load_artifact(path)
+        for k in ("vocab", "buckets", "max_target_len"):
+            assert k in extras, (
+                f"{path}: artifact has no '{k}' in __extras__ — re-export "
+                f"with tools/export_artifact.py"
+            )
+        t = object.__new__(cls)
+        t.max_device_batch = max_device_batch
+        t.params = params
+        t.data_parallel = 1
+        t.mesh = None
+        t.model_cfg = cfg
+        t.impl = (
+            "pallas" if jax.default_backend() == "tpu" else "xla"
+        ) if implementation == "auto" else implementation
+        t.beam = beam_width
+        t.length_penalty = length_penalty
+        t.lm_logp = None
+        t.lm_weight = 0.0
+        t.ctc_joint = None if ctc_joint is None else float(ctc_joint)
+        if t.ctc_joint is not None:
+            assert t.beam, "ctc_joint requires beam decoding (beam_width > 0)"
+            assert params.ctc_w is not None, (
+                "ctc_joint needs a model trained with ctc_weight > 0"
+            )
+        t.speller_cfg = cfg.speller
+        t.vocab = Vocab(list(extras["vocab"]))
+        t._speller = lambda p: p.speller
+        t.max_steps = int(extras["max_target_len"])
+        t._jit_cache = {}
+        t._sample_rate = cfg.frontend.sample_rate
+        t.train_max_samples = int(max(extras["buckets"]))
+        return t
+
     def replicate(self, n: int = 0) -> List["Transcriber"]:
         """``n`` independent single-device copies (one per local device,
         ``n=0`` = all of them) sharing this instance's loaded params and

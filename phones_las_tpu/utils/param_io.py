@@ -53,11 +53,19 @@ def _flatten(params) -> dict:
     return out
 
 
-def save_params_npz(path: str, params, cfg) -> None:
+def save_params_npz(path: str, params, cfg, extras: dict = None) -> None:
+    """``extras`` (optional, JSON-serializable) rides along as
+    ``__extras__`` — decode-side metadata the model config doesn't carry
+    (vocab tokens, training bucket lengths, target cap), enough for
+    ``Transcriber.from_artifact`` to serve from the file alone."""
     flat = _flatten(params)
     flat["__config__"] = np.frombuffer(
         json.dumps(_cfg_to_dict(cfg)).encode(), dtype=np.uint8
     )
+    if extras is not None:
+        flat["__extras__"] = np.frombuffer(
+            json.dumps(extras).encode(), dtype=np.uint8
+        )
     np.savez_compressed(path, **flat)
 
 
@@ -65,6 +73,12 @@ def load_params_npz(path: str) -> Tuple[object, object]:
     """→ (LASParams, LASConfig). Leaves are matched by tree path against
     a freshly initialized model of the stored config, so a structural
     mismatch fails loudly instead of mis-grafting."""
+    params, cfg, _ = load_artifact(path)
+    return params, cfg
+
+
+def load_artifact(path: str) -> Tuple[object, object, dict]:
+    """→ (LASParams, LASConfig, extras dict — empty when absent)."""
     import jax
 
     from phones_las_tpu.models.las import init_las
@@ -72,6 +86,10 @@ def load_params_npz(path: str) -> Tuple[object, object]:
     data = np.load(path, allow_pickle=False)
     cfg = config_from_dict(
         json.loads(bytes(data["__config__"].tobytes()).decode())
+    )
+    extras = (
+        json.loads(bytes(data["__extras__"].tobytes()).decode())
+        if "__extras__" in data else {}
     )
     template = init_las(jax.random.PRNGKey(0), cfg)
     leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
@@ -82,4 +100,4 @@ def load_params_npz(path: str) -> Tuple[object, object]:
         arr = data[key]
         assert arr.shape == tleaf.shape, (key, arr.shape, tleaf.shape)
         filled.append(arr.astype(tleaf.dtype))
-    return jax.tree_util.tree_unflatten(treedef, filled), cfg
+    return jax.tree_util.tree_unflatten(treedef, filled), cfg, extras

@@ -1,0 +1,115 @@
+"""Long-utterance regression gates (round-4 verdict weak #4).
+
+Both CI accuracy gates before round 5 were sub-second corpora, so a
+masking/monotonic-recursion/stitching regression that re-breaks decoding
+at T' ≈ 235 encoder frames (the long-corpus regime, docs/ACCURACY.md
+"Long utterances") would pass the whole suite. These tests decode the
+*committed* small long-regime checkpoint (monotonic attention +
+ctc_weight 0.3 + mild SpecAugment — the recommended robust recipe —
+trained on the long speechlike corpus: syllables 14-28, words 1-3,
+buckets up to 9.5 s; exported with tools/export_artifact.py) on freshly
+synthesized utterances of the same language:
+
+  * batch gate  — 9 s-class utterances, greedy decode: ZERO derailments
+    and a PER bound. Catches T'-at-scale decode regressions
+    (attention masking, monotonic recursion, pyramid lengths).
+  * stitch gate — one ~50 s stream through transcribe_long (pause-mode
+    segmentation, auto geometry): stitched PER bound. Catches
+    segmenter/cap/geometry regressions (api.PauseSegmenter).
+
+Decode-only (no training), so the gate is deterministic and runs in
+minutes on the CPU fake-8 mesh. Re-make the asset with:
+    python -m phones_las_tpu.cli.train --preset timit_phone_las \
+      --data <long corpus> --workdir <wd> --num-steps 2000 \
+      --buckets 96000 128000 152000 --max-target-len 84 \
+      --attention-type bahdanau_monotonic --ctc-weight 0.3 \
+      --specaugment --sa-freq-masks 1 --sa-freq-width 6 \
+      --sa-time-masks 1 --sa-time-ratio 0.10 \
+      --encoder-units 96 --decoder-units 96 --embedding-dim 48 \
+      --attention-units 96
+    python tools/export_artifact.py --workdir <wd> \
+      --out tests/goldens/long_gate.npz
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from phones_las_tpu.api import Transcriber
+from phones_las_tpu.data.speechlike import (
+    make_phonotactics,
+    speechlike_phone_inventory,
+    synth_speech_utterance,
+)
+from phones_las_tpu.data.vocab import Vocab
+from phones_las_tpu.train.metrics import _edit_distance
+
+pytestmark = pytest.mark.slow
+
+ASSET = os.path.join(os.path.dirname(__file__), "goldens", "long_gate.npz")
+
+# measured on the committed checkpoint (see docstring; CPU backend like
+# CI, _runs/r5_gate_calib.py): batch greedy PER 0.0123, max |hyp|-|ref|
+# = 0, stitched PER 0.0147 on these exact synth seeds. Bounds sit ~2.7x
+# above so only a regression trips them, not noise.
+BATCH_PER_BOUND = 0.035
+STITCH_PER_BOUND = 0.04
+DERAIL_SLACK = 15  # |hyp| >= |ref| + slack counts as a derailment
+
+VOCAB = Vocab(speechlike_phone_inventory())
+LANG = make_phonotactics(1234)  # the corpus language (phonotactics_seed)
+
+
+def _ids(tokens):
+    idx = {t: i for i, t in enumerate(VOCAB.tokens)}
+    return [idx[t] for t in tokens]
+
+
+@pytest.fixture(scope="module")
+def transcriber():
+    assert os.path.exists(ASSET), (
+        f"{ASSET} missing — regenerate per the module docstring"
+    )
+    return Transcriber.from_artifact(ASSET)
+
+
+def test_long_batch_decode_zero_derailments(transcriber):
+    t = transcriber
+    rng = np.random.RandomState(9001)
+    utts = [
+        synth_speech_utterance(
+            rng, VOCAB, f"gate-{i}", model=LANG,
+            n_syllables_range=(22, 28), word_syllables=(1, 3),
+            snr_db_range=(8.0, 30.0),
+        )
+        for i in range(8)
+    ]
+    errs = toks = 0
+    for u in utts:
+        hyp = t.transcribe(u.audio)
+        ref = VOCAB.decode(u.targets)
+        assert len(hyp) < len(ref) + DERAIL_SLACK, (
+            f"derailment: |hyp|={len(hyp)} |ref|={len(ref)}\n{hyp}"
+        )
+        errs += _edit_distance(_ids(hyp), _ids(ref))
+        toks += len(ref)
+    per = errs / toks
+    assert per <= BATCH_PER_BOUND, f"long-regime batch PER regressed: {per:.4f}"
+
+
+def test_long_form_stitching_holds(transcriber):
+    t = transcriber
+    rng = np.random.RandomState(9002)
+    u = synth_speech_utterance(
+        rng, VOCAB, "gate-stream", model=LANG,
+        n_syllables_range=(170, 170), word_syllables=(1, 3),
+        snr_db_range=(10.0, 30.0),
+    )
+    hyp = t.transcribe_long(u.audio)  # pause mode, auto geometry
+    ref = VOCAB.decode(u.targets)
+    per = _edit_distance(_ids(hyp), _ids(ref)) / len(ref)
+    assert per <= STITCH_PER_BOUND, (
+        f"stitched PER regressed: {per:.4f} "
+        f"(|hyp|={len(hyp)} |ref|={len(ref)})"
+    )
