@@ -27,8 +27,10 @@ def main(argv=None):
                    help="decode-time monotonic-attention mode override "
                         "(models trained with a *_monotonic attention "
                         "type). 'hard' (discrete test-time decisions) is "
-                        "EXPERIMENTAL — every measured operating point is "
-                        "unusable (35-78%% PER, docs/ACCURACY.md)")
+                        "EXPERIMENTAL — usable only calibrated: train with "
+                        "--monotonic-noise 3.0 and decode with "
+                        "--monotonic-bias 3 (3.5%% PER, zero derailments; "
+                        "uncalibrated 35-78%% — docs/ACCURACY.md)")
     p.add_argument("--monotonic-bias", type=float, default=None, metavar="B",
                    help="decode-time pre-sigmoid energy bias for "
                         "*_monotonic attention (hard-mode calibration: "

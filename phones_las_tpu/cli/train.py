@@ -52,14 +52,16 @@ def main(argv=None):
                         "the run config (the default for later infer/eval); "
                         "training itself always uses the soft 'parallel' "
                         "recursion. 'hard' (discrete test-time decisions) "
-                        "is EXPERIMENTAL: no measured operating point is "
-                        "usable (35-78%% PER; docs/ACCURACY.md)")
+                        "is EXPERIMENTAL; see --monotonic-noise for the "
+                        "calibrated recipe (docs/ACCURACY.md)")
     p.add_argument("--monotonic-noise", type=float, default=None,
                    help="pre-sigmoid noise stddev on monotonic attention "
-                        "energies during training (default 1.0). Raising it "
-                        "to calibrate --monotonic-mode hard was measured as "
-                        "a failure (noise 3.0: hard 35%%, soft degrades "
-                        "1.6->10%% — docs/ACCURACY.md)")
+                        "energies during training (default 1.0). noise 3.0 "
+                        "+ decode-time '--monotonic-mode hard "
+                        "--monotonic-bias 3' is the calibrated hard-decode "
+                        "recipe (3.5%% PER, zero derailments), at the cost "
+                        "of the checkpoint's SOFT decode (1.6->10%% — "
+                        "docs/ACCURACY.md)")
     p.add_argument("--dropout", type=float, default=None)
     p.add_argument("--sampling-probability", type=float, default=None)
     p.add_argument("--specaugment", action="store_true",

@@ -105,6 +105,41 @@ def _cfg(attention_type):
     )
 
 
+def test_monotonic_bias_shifts_hard_threshold():
+    """--monotonic-bias is the decode-time calibration knob that made
+    hard mode usable (docs/ACCURACY.md round-5 bias sweep): a large
+    positive bias pushes every pre-sigmoid energy above the hard 0
+    threshold (attend at the first admissible key), a large negative
+    one below it (all-zero alignment)."""
+    from phones_las_tpu.ops.attention import (
+        attention_scores,
+        init_attention_params,
+    )
+
+    rng = jax.random.PRNGKey(3)
+    params = init_attention_params(rng, "bahdanau_monotonic", query_dim=8,
+                                   memory_dim=16, attn_units=8)
+    q = jax.random.normal(jax.random.PRNGKey(4), (2, 8))
+    keys = jax.random.normal(jax.random.PRNGKey(5), (2, 5, 8))
+    mask = jnp.ones((2, 5))
+    prev = jnp.zeros((2, 5)).at[:, 0].set(1.0)  # start of decode
+
+    kw = dict(prev_align=prev, monotonic_mode="hard")
+    hi = np.asarray(attention_scores(
+        params, "bahdanau_monotonic", q, keys, mask,
+        monotonic_bias=100.0, **kw,
+    ))
+    lo = np.asarray(attention_scores(
+        params, "bahdanau_monotonic", q, keys, mask,
+        monotonic_bias=-100.0, **kw,
+    ))
+    # +100: everything crosses the threshold -> attend exactly at the
+    # previous position (first admissible key)
+    np.testing.assert_array_equal(hi, np.asarray(prev))
+    # -100: nothing crosses -> all-zero alignment
+    np.testing.assert_array_equal(lo, np.zeros_like(lo))
+
+
 def test_monotonic_variants_train_and_decode():
     rs = np.random.RandomState(0)
     batch = {
