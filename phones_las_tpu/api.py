@@ -549,6 +549,63 @@ class Transcriber:
             self.model_cfg.frontend.hop_ms / 1000.0 * self._sample_rate
         ) * self.model_cfg.listener.time_reduction()
 
+    def _stream_adapted_params(self, audio: np.ndarray):
+        """Per-stream CMVN: replace the corpus feature mean/std with this
+        stream's own (classic speaker/channel adaptation — a long-form
+        stream carries ONE speaker draw, and the measured residual
+        stitching error is speaker-systematic vowel substitution,
+        docs/ACCURACY.md round-5 section). Stats are accumulated on
+        device in training-bucket-sized chunks (one compiled program),
+        masked to true frame counts; std floored at 1e-3 so silent
+        streams cannot blow up the scale."""
+        import jax
+        import jax.numpy as jnp
+
+        from phones_las_tpu.frontend.features import (
+            extract_features,
+            num_frames,
+        )
+
+        cfg = self.model_cfg
+        if not cfg.cmvn:
+            return self.params
+        chunk = int(self.train_max_samples)
+        key = ("cmvn_stats", chunk)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def stats(wav, n):
+                with jax.default_matmul_precision(cfg.matmul_precision):
+                    feats = extract_features(
+                        wav[None], cfg.frontend, sample_lengths=n[None]
+                    )
+                f = num_frames(n, cfg.frontend)
+                m = (jnp.arange(feats.shape[1]) < f)[None, :, None]
+                feats = feats * m.astype(feats.dtype)
+                return feats.sum((0, 1)), (feats * feats).sum((0, 1)), f
+
+            self._jit_cache[key] = stats
+        stats = self._jit_cache[key]
+        audio = np.asarray(audio)
+        s = s2 = np.zeros((), np.float64)
+        cnt = 0
+        for ofs in range(0, len(audio), chunk):
+            seg = audio[ofs : ofs + chunk]
+            n = len(seg)
+            if n < chunk:
+                seg = np.pad(seg, (0, chunk - n))
+            a, b, f = stats(jnp.asarray(seg), jnp.asarray(n, jnp.int32))
+            s = s + np.asarray(a, np.float64)
+            s2 = s2 + np.asarray(b, np.float64)
+            cnt += int(f)
+        mean = s / max(cnt, 1)
+        std = np.sqrt(np.maximum(s2 / max(cnt, 1) - mean * mean, 1e-6))
+        std = np.maximum(std, 1e-3)
+        return self.params._replace(
+            cmvn_mean=jnp.asarray(mean, self.params.cmvn_mean.dtype),
+            cmvn_std=jnp.asarray(std, self.params.cmvn_std.dtype),
+        )
+
     def decode_aligned(
         self,
         windows: Sequence[np.ndarray],
@@ -556,6 +613,7 @@ class Transcriber:
         window_samples: int,
         max_tokens_per_second: float = 25.0,
         steps_cap: Optional[int] = None,
+        params=None,
     ) -> List:
         """Decode equal-capacity audio windows with per-token timestamps.
 
@@ -595,8 +653,9 @@ class Transcriber:
                 wav_batch[i, : len(seg)] = seg
                 wav_lens[i] = len(seg)
             fn = self._infer_fn_aligned(window_samples, wave, steps_cap)
+            p = self.params if params is None else params
             dispatched.append(
-                (len(chunk), fn(self.params, *self._put_inputs(wav_batch, wav_lens)))
+                (len(chunk), fn(p, *self._put_inputs(wav_batch, wav_lens)))
             )
         out = []
         for n, (toks, lens, peaks) in dispatched:  # fetch after dispatch
@@ -644,6 +703,7 @@ class Transcriber:
         overlap_seconds: float = 2.0,
         max_tokens_per_second: float = 25.0,
         segmentation: str = "pause",
+        adapt_cmvn: bool = False,
     ) -> List[str]:
         """Transcribe audio of arbitrary length (lectures, meetings —
         beyond the utterance lengths LAS was trained on) by splitting it
@@ -689,6 +749,10 @@ class Transcriber:
         assert 0 < ov < win, (ov, win)
         if audio.shape[0] <= win:
             return self.transcribe(audio)
+        # ``adapt_cmvn``: normalize with THIS stream's feature stats
+        # instead of the corpus stats (per-speaker adaptation; streams
+        # shorter than one window skip it — too few frames to estimate)
+        params = self._stream_adapted_params(audio) if adapt_cmvn else None
         if segmentation == "pause":
             pad = win + 2 * ov
             cuts = find_pause_cuts(audio, sr, win, ov)
@@ -697,6 +761,7 @@ class Transcriber:
                 window_samples=pad,
                 max_tokens_per_second=max_tokens_per_second,
                 steps_cap=self._long_form_cap(pad, max_tokens_per_second),
+                params=params,
             )
             ids = [int(t) for seg_ids, _ in decoded for t in seg_ids]
             return self.vocab.decode(np.asarray(ids, np.int32))
@@ -707,6 +772,7 @@ class Transcriber:
             [audio[s : s + win] for s in starts],
             window_samples=win,
             max_tokens_per_second=max_tokens_per_second,
+            params=params,
         )
         per_window = [
             (ids, s0 + times) for s0, (ids, times) in zip(starts, decoded)

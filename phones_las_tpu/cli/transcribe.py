@@ -45,6 +45,11 @@ def main(argv=None):
                         "stitching")
     p.add_argument("--max-tokens-per-second", type=float, default=25.0,
                    help="long-form per-window decode cap = window × this")
+    p.add_argument("--adapt-cmvn", action="store_true",
+                   help="long-form only: normalize features with the "
+                        "stream's own mean/std instead of the corpus "
+                        "CMVN (per-speaker adaptation; docs/ACCURACY.md "
+                        "long-form residual)")
     p.add_argument("--output", default=None, help="write TSV here instead of stdout")
     p.add_argument("--implementation", default="auto",
                    choices=["auto", "xla", "pallas"])
@@ -82,6 +87,7 @@ def main(argv=None):
                 overlap_seconds=args.overlap_seconds,
                 max_tokens_per_second=args.max_tokens_per_second,
                 segmentation=args.segmentation,
+                adapt_cmvn=args.adapt_cmvn,
             ))
     else:
         results = t.transcribe_files(args.files)

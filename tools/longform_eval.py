@@ -40,12 +40,17 @@ def main() -> None:
     p.add_argument("--snr-db", type=float, nargs=2, default=(8.0, 30.0))
     p.add_argument("--segmentation", choices=("pause", "overlap"),
                    default="pause")
+    p.add_argument("--adapt-cmvn", action="store_true",
+                   help="per-stream CMVN (speaker adaptation)")
+    p.add_argument("--beam-width", type=int, default=None)
+    p.add_argument("--ctc-joint", type=float, default=None)
     args = p.parse_args()
 
     vocab = Vocab(speechlike_phone_inventory())
     model = make_phonotactics(args.phonotactics_seed)
     rng = np.random.RandomState(args.seed)
-    t = Transcriber(args.workdir)
+    t = Transcriber(args.workdir, beam_width=args.beam_width,
+                    ctc_joint=args.ctc_joint)
 
     errs = tokens = 0
     total_audio = 0.0
@@ -60,6 +65,7 @@ def main() -> None:
         hyp = t.transcribe_long(
             u.audio, window_seconds=args.window,
             overlap_seconds=args.overlap, segmentation=args.segmentation,
+            adapt_cmvn=args.adapt_cmvn,
         )
         ids = {tok: j for j, tok in enumerate(vocab.tokens)}
         e = _edit_distance([ids[x] for x in hyp], [ids[x] for x in ref])
