@@ -48,6 +48,13 @@ if TINY:  # fast smoke (CPU-runnable): tiny shapes, same code paths
     N_SAMPLES = int(SECONDS * SAMPLE_RATE)
     DECODE_STEPS = 10
 
+# `bench.py --prewarm`: compile every row's programs once (iters=1) so
+# the persistent XLA cache (utils/jax_cache.py) is hot before the driver
+# bench runs — the parity rows paid an 18-minute cold compile in the
+# round-4 driver run. Run it after any change to compiled code paths;
+# it is the last act of the round-end checklist (docs/PERF.md).
+PREWARM = bool(os.environ.get("PLU_BENCH_PREWARM"))
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -82,6 +89,8 @@ def bench_tpu(batch_size=64, iters=20, precision="parity", wave=None):
 
     if TINY:
         batch_size, iters = 4, 2
+    if PREWARM:
+        iters = 1
     cfg = _flagship_cfg(tiny=TINY)
     if precision == "production":
         # production numerics: bf16 einsums + bf16 recurrent dots (via the
@@ -156,6 +165,8 @@ def bench_tpu_beam(batch_size=32, iters=5, precision="parity",
 
     if TINY:
         batch_size, iters, beam_width = 2, 1, 2
+    if PREWARM:
+        iters = 1
     cfg = _flagship_cfg(tiny=TINY)
     if attention:
         cfg = dataclasses.replace(
@@ -231,6 +242,8 @@ def bench_train(batch_size=32, iters=30, precision="production"):
 
     if TINY:
         batch_size, iters = 4, 2
+    if PREWARM:
+        iters = 1
     cfg = _flagship_cfg(tiny=TINY)
     if precision == "production":
         cfg = dataclasses.replace(
@@ -744,5 +757,17 @@ if __name__ == "__main__":
         if "--skip" in sys.argv:
             skip = sys.argv[sys.argv.index("--skip") + 1]
         tpu_worker(set(filter(None, skip.split(","))))
+    elif "--prewarm" in sys.argv:
+        # compile every TPU row's programs once into the persistent XLA
+        # cache (utils/jax_cache.py) so the next driver bench starts warm.
+        # In-process (no subprocess retry machinery): if the backend dies,
+        # just rerun. Per-row compile+warmup seconds go to stderr.
+        PREWARM = True
+        os.environ["PLU_BENCH_PREWARM"] = "1"
+        t0 = time.time()
+        try:
+            tpu_worker(set())  # exits 0 when done
+        finally:
+            log(f"prewarm: all rows compiled in {time.time()-t0:.0f}s")
     else:
         main()
