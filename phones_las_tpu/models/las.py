@@ -48,6 +48,10 @@ class LASConfig:
     # has none). Applied on device inside the jitted train step, after
     # CMVN, before the listener. None → off.
     specaugment: Optional[SpecAugmentConfig] = None
+    # VTLP-style frequency-axis warp augmentation (frontend/freq_warp.py):
+    # per-utterance α ~ U[1−W, 1+W] channel resampling on the log-mel
+    # axis. 0 → off. Requires feature_type='logmel'.
+    freq_warp: float = 0.0
     # joint CTC-attention training (beyond-parity; Watanabe et al. 2017,
     # standard in modern LAS toolkits): loss = (1-λ)·attention + λ·CTC
     # over a linear CTC head on the encoder output. The blank label is
@@ -181,6 +185,19 @@ def encode(
     feats, flens = featurize(
         params, cfg, audio, audio_lengths, implementation=implementation
     )
+    if train and cfg.freq_warp and dropout_rng is not None:
+        if cfg.frontend.feature_type != "logmel":
+            raise ValueError(
+                "freq_warp warps the log-mel channel axis; it is not a "
+                f"spectral warp for feature_type={cfg.frontend.feature_type!r}"
+            )
+        from phones_las_tpu.frontend.freq_warp import apply_freq_warp
+
+        blocks = 3 if cfg.frontend.add_deltas else 1
+        feats = apply_freq_warp(
+            jax.random.fold_in(dropout_rng, 0x3F), feats,
+            cfg.freq_warp, feats.shape[-1] // blocks,
+        )
     if train and cfg.specaugment is not None and dropout_rng is not None:
         blocks = 3 if cfg.frontend.add_deltas else 1
         feats = apply_specaugment(
